@@ -1,0 +1,91 @@
+"""Solver configuration.
+
+The reference scatters its knobs across keyword arguments and hard-coded
+constants (``max_iter``/``tol`` kwargs at src/forward_pass.jl:151-152;
+line-search alpha0=1.0 and halving factor 2 at src/forward_pass.jl:66,82;
+Tikhonov lambda=0.01 at src/backward_pass.jl:214).  Here they live in one
+frozen, hashable dataclass that is static under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Status(enum.IntEnum):
+    """Solver termination status.
+
+    The reference has no status reporting: it asserts on NaN and loops
+    forever if no improving step exists (src/forward_pass.jl:70-90).  Every
+    failure mode here is a per-scenario flag instead, so one diverged solve
+    in a batch of thousands is masked out rather than crashing the run.
+    """
+
+    RUNNING = 0
+    CONVERGED = 1        # sum((u_new - u)^2) <= tol   (src/forward_pass.jl:171)
+    MAX_ITER = 2         # iteration cap hit            (src/forward_pass.jl:161)
+    LINESEARCH_FAILED = 3  # no alpha in the ladder decreased the cost
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Static solver configuration (hashable; safe as a jit-static arg).
+
+    Defaults replicate the reference solver exactly:
+
+    * ``max_iter``/``tol`` — src/forward_pass.jl:151-152,
+    * ``reg`` — the fixed Tikhonov term added to Quu before the gain solve,
+      src/backward_pass.jl:214 (``H + 0.01 I``),
+    * ``alpha0``/``alpha_factor`` — backtracking schedule 1, 1/2, 1/4, ...
+      src/forward_pass.jl:66,82, accepting the first alpha with any cost
+      decrease (src/forward_pass.jl:79),
+    * ``max_backtracks`` — the reference backtracks unboundedly
+      (``while true``, src/forward_pass.jl:70); we bound it at 32 halvings
+      (alpha ~ 5e-10) and report ``LINESEARCH_FAILED`` instead of hanging.
+
+    ``symmetrize`` re-symmetrizes the value Hessian each backward step; in
+    exact arithmetic S is symmetric (src/backward_pass.jl:270), so this is a
+    numerical-stability no-op that matters in float32 on TPU.
+    """
+
+    max_iter: int = 100
+    tol: float = 1e-6
+    # Gradient-based convergence: stop when the backward pass's predicted
+    # linear cost decrease |sum_t duff_t . Qu_t| falls below tol_grad.  The
+    # reference has no such test — at an exact optimum its strict-decrease
+    # line search loops forever (src/forward_pass.jl:70-87) — so this is 0.0
+    # (disabled) by default for parity; set ~1e-12 for robust termination.
+    tol_grad: float = 0.0
+    reg: float = 1e-2
+    alpha0: float = 1.0
+    alpha_factor: float = 0.5
+    max_backtracks: int = 32
+    symmetrize: bool = True
+    # Adaptive regularization schedule (framework extension; the reference
+    # hard-codes reg=0.01).  When enabled, reg is scaled up by reg_scale on a
+    # failed line search and decayed back toward reg_min on success.
+    adaptive_reg: bool = False
+    reg_min: float = 1e-6
+    reg_max: float = 1e6
+    reg_scale: float = 10.0
+    # Backward-pass backend: "scan" (sequential lax.scan, reference-faithful)
+    # or "associative" (parallel-in-time Riccati via lax.associative_scan,
+    # log-depth in the horizon — the framework's long-horizon story).
+    backward_backend: str = "scan"
+    # lax.scan unroll factor for the backward recursion and the rollout.
+    # Time scans over tiny per-step work are dominated by per-step overhead
+    # on TPU; unrolling amortizes it.  Pure performance knob — numerics are
+    # unchanged.
+    scan_unroll: int = 8
+    # Return the pre-update trajectory when the convergence test fires, which
+    # is what the reference does (the break at src/forward_pass.jl:171 runs
+    # before the trajectory update at :174-175).  Set False to return the
+    # newer (strictly better) iterate.
+    reference_return_semantics: bool = True
+
+    def replace(self, **kw) -> "ILQRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = ILQRConfig()

@@ -1,0 +1,71 @@
+"""Local approximation layer: whole-horizon derivatives in one vmapped sweep.
+
+The reference computes every Jacobian/Hessian one timestep at a time inside
+the backward loop (src/backward_pass.jl:339-351, calling
+``linearize_dynamics`` :25-40 and ``immediate_cost_quadratization`` :81-109
+per step).  On TPU that serialization throws away all the parallelism, so
+here the whole horizon is differentiated in a single ``vmap`` over time —
+one big batched computation that XLA tiles onto the vector units.
+
+Forward-mode (``jacfwd``) is used for the dynamics (n+m tangent sweeps, the
+same strategy as ForwardDiff.jl's dual numbers) and forward-over-reverse for
+the Hessians.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def linearize_dynamics(dynamics: Callable, xs: jax.Array, us: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Linearize ``dynamics`` around every point of a trajectory at once.
+
+    ``xs: [T, n]``, ``us: [T, m]`` → ``(As [T, n, n], Bs [T, n, m])`` with
+    ``A_k = df/dx``, ``B_k = df/du`` (reference: src/backward_pass.jl:25-40,
+    but batched — the batched variant the reference's own stale test
+    ``test/test_linearize_dynamics.jl:10`` expected and src never provided).
+    """
+
+    jac = jax.jacfwd(dynamics, argnums=(0, 1))
+    As, Bs = jax.vmap(jac)(xs, us)
+    return As, Bs
+
+
+def quadratize_running_cost(cost: Callable, xs: jax.Array, us: jax.Array):
+    """Second-order expansion of the running cost along the whole horizon.
+
+    Returns ``(q [T], qx [T,n], ru [T,m], Qxx [T,n,n], Pux [T,m,n],
+    Ruu [T,m,m])`` — the (q_i, 𝐪_i, 𝐫_i, 𝐐_i, 𝐏_i, 𝐑_i) of
+    src/backward_pass.jl:81-109, with ``Pux = d²L/du dx`` laid out ``[m, n]``
+    exactly as the reference's ``jacobian(x -> dL/du, x)`` (:99).
+    """
+
+    grad_x = jax.grad(cost, argnums=0)
+    grad_u = jax.grad(cost, argnums=1)
+
+    def one_point(x, u):
+        q = cost(x, u)
+        qx = grad_x(x, u)
+        ru = grad_u(x, u)
+        Qxx = jax.jacfwd(grad_x, argnums=0)(x, u)
+        Pux = jax.jacfwd(grad_u, argnums=0)(x, u)  # [m, n]
+        Ruu = jax.jacfwd(grad_u, argnums=1)(x, u)
+        return q, qx, ru, Qxx, Pux, Ruu
+
+    return jax.vmap(one_point)(xs, us)
+
+
+def quadratize_final_cost(final_cost: Callable, x_final: jax.Array):
+    """Terminal expansion ``(q_N, q_N_x [n], Q_N [n,n])``.
+
+    Reference: src/backward_pass.jl:134-153.
+    """
+
+    q = final_cost(x_final)
+    qx = jax.grad(final_cost)(x_final)
+    Qxx = jax.jacfwd(jax.grad(final_cost))(x_final)
+    return q, qx, Qxx

@@ -1,0 +1,110 @@
+"""Forward pass: fused scan rollout + bounded backtracking line search.
+
+Reference behavior (src/forward_pass.jl:55-93) replicated exactly, made
+jit/vmap-safe:
+
+* closed-loop update ``u_new = u + alpha*duff + K (x_new - x)`` about the
+  previous accepted trajectory (:72-73 — only the feedforward is scaled by
+  alpha, standard iLQR);
+* acceptance is raw cost decrease ``prev_cost - new_cost > 0`` (:79), no
+  Armijo test — and since any comparison with NaN is false, NaN rollouts
+  backtrack exactly as the reference's do;
+* alpha ladder 1, 1/2, 1/4, … (:66,:82) trying alphas in that order and
+  accepting the *first* improvement — but bounded at
+  ``config.max_backtracks`` instead of the reference's unbounded
+  ``while true`` (:70): exhaustion is reported, not an infinite loop.
+
+Under ``vmap`` the ``lax.while_loop`` automatically becomes a masked batched
+loop: scenarios that already accepted hold their result while stragglers
+keep backtracking, which is the efficient TPU shape when most scenarios
+accept alpha = 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.config import ILQRConfig, DEFAULT_CONFIG
+from ilqr_tpu.precision import highest_precision
+from ilqr_tpu.problem import Problem, total_cost
+
+
+class ForwardResult(NamedTuple):
+    xs: jax.Array        # [T+1, n] accepted (or last tried) state trajectory
+    us: jax.Array        # [T, m] accepted (or last tried) controls
+    cost: jax.Array      # scalar cost of (xs, us)
+    accepted: jax.Array  # bool: some alpha decreased the cost
+    alpha: jax.Array     # the accepted step size
+    backtracks: jax.Array  # int32: number of rejected alphas
+
+
+@highest_precision
+def closed_loop_rollout(problem: Problem, xs, us, duffs, Ks, alpha,
+                        unroll: int = 1):
+    """One closed-loop rollout ``[T]``-scan (src/forward_pass.jl:71-75)."""
+
+    def step(x_new, inp):
+        x_old, u_old, duff, K = inp
+        u_new = u_old + alpha * duff + K @ (x_new - x_old)
+        x_next = problem.dynamics(x_new, u_new)
+        return x_next, (x_new, u_new)
+
+    x0 = xs[0]
+    x_last, (xs_new, us_new) = jax.lax.scan(
+        step, x0, (xs[:-1], us, duffs, Ks), unroll=unroll)
+    xs_new = jnp.concatenate([xs_new, x_last[None]], axis=0)
+    return xs_new, us_new
+
+
+@highest_precision
+def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
+                 x_ref: Optional[jax.Array] = None,
+                 config: ILQRConfig = DEFAULT_CONFIG) -> ForwardResult:
+    """Line-searched forward pass.
+
+    Equivalent of the reference's public ``forward_pass`` (:55) with the
+    trajectory-offset total cost of src/forward_pass.jl:182-196.
+    """
+
+    dtype = xs.dtype
+
+    def try_alpha(alpha):
+        xs_new, us_new = closed_loop_rollout(problem, xs, us, duffs, Ks, alpha,
+                                             unroll=config.scan_unroll)
+        # Pin the cost to the trajectory dtype: model constants may live at
+        # a higher precision (e.g. f64-under-x64 with f32 trajectories) and
+        # would otherwise promote the while-loop carry.
+        cost = total_cost(problem, xs_new, us_new, x_ref).astype(dtype)
+        return xs_new, us_new, cost
+
+    def cond(carry):
+        k, _alpha, accepted, *_ = carry
+        return jnp.logical_and(~accepted, k < config.max_backtracks)
+
+    def body(carry):
+        k, alpha, _accepted, xs_c, us_c, _cost = carry
+        xs_new, us_new, cost = try_alpha(alpha)
+        accept = (prev_cost - cost) > 0  # False for NaN cost → backtrack
+        next_alpha = jnp.where(accept, alpha, alpha * config.alpha_factor)
+        return (k + 1, next_alpha, accept, xs_new, us_new, cost)
+
+    init = (
+        jnp.int32(0),
+        jnp.asarray(config.alpha0, dtype),
+        jnp.bool_(False),
+        xs,
+        us,
+        jnp.asarray(jnp.inf, dtype),
+    )
+    k, alpha, accepted, xs_out, us_out, cost = jax.lax.while_loop(cond, body, init)
+    return ForwardResult(
+        xs=xs_out,
+        us=us_out,
+        cost=cost,
+        accepted=accepted,
+        alpha=alpha,
+        backtracks=k - 1,
+    )

@@ -1,0 +1,195 @@
+"""CRBA mass matrix + RNEA bias forces over a static kinematic tree.
+
+Differentiable replacements for the two RigidBodyDynamics.jl calls the
+reference's model makes per dynamics evaluation —
+``mass_matrix(state)`` and ``dynamics_bias(state)``
+(RBD_helper_functions.jl:61-66) — implemented as the Composite Rigid Body
+Algorithm and the Recursive Newton-Euler Algorithm respectively
+(Featherstone, "Rigid Body Dynamics Algorithms", ch. 5-6).  The tree loops
+unroll at trace time (bodies are few and static), every arithmetic op is a
+jnp op, so both algorithms jit, vmap over scenario batches, and
+differentiate with jacfwd — the property the whole iLQR stack relies on.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.rbd.rotations import (
+    axis_angle_to_rotmat,
+    quat_to_rotmat,
+    rpy_to_rotmat,
+    skew,
+)
+from ilqr_tpu.models.rbd.spatial import (
+    crf,
+    crm,
+    spatial_inertia,
+    xform_from_pose,
+)
+from ilqr_tpu.models.rbd.urdf import Mechanism
+
+
+def _joint_X_and_S(joint, q, dtype):
+    """Child-frame-from-parent-frame motion transform and motion subspace.
+
+    Returns ``(X_up [6,6], S [6, dof], R_world_child_contrib)`` where
+    ``X_up`` maps motion vectors from the parent link frame into the child
+    link frame at configuration ``q`` (the joint's slice of the global
+    configuration vector).
+    """
+
+    # Fixed frame of the joint in the parent link (URDF origin).
+    R_origin = rpy_to_rotmat(jnp.asarray(joint.origin_rpy, dtype))
+    p_origin = jnp.asarray(joint.origin_xyz, dtype)
+
+    if joint.joint_type in ("revolute", "continuous"):
+        axis = jnp.asarray(joint.axis, dtype)
+        R_j = axis_angle_to_rotmat(axis, q[0])
+        R = R_origin @ R_j          # child axes in parent coords
+        p = p_origin                # child origin in parent coords
+        S = jnp.concatenate([axis, jnp.zeros(3, dtype)])[:, None]
+    elif joint.joint_type == "prismatic":
+        axis = jnp.asarray(joint.axis, dtype)
+        R = R_origin
+        p = p_origin + R_origin @ (axis * q[0])
+        S = jnp.concatenate([jnp.zeros(3, dtype), axis])[:, None]
+    elif joint.joint_type == "fixed":
+        R = R_origin
+        p = p_origin
+        S = jnp.zeros((6, 0), dtype)
+    elif joint.joint_type == "floating":
+        # q = [quat (4, scalar-first), pos (3)]; velocity [ω; v] in child
+        # (body) coordinates — RigidBodyDynamics.jl QuaternionFloating
+        # convention.
+        R_b = quat_to_rotmat(q[:4])
+        R = R_origin @ R_b
+        p = p_origin + R_origin @ q[4:7]
+        S = jnp.eye(6, dtype=dtype)
+    else:
+        raise ValueError(f"unsupported joint type {joint.joint_type}")
+
+    return xform_from_pose(R, p), S
+
+
+def _tree_quantities(mech: Mechanism, q, dtype):
+    """Per-body (X_up, S) along the tree."""
+
+    Xups: List = []
+    Ss: List = []
+    for i, joint in enumerate(mech.joints):
+        lo, hi = mech.q_slices[i]
+        Xup, S = _joint_X_and_S(joint, q[lo:hi], dtype)
+        Xups.append(Xup)
+        Ss.append(S)
+    return Xups, Ss
+
+
+def _body_inertias(mech: Mechanism, dtype):
+    return [
+        spatial_inertia(
+            jnp.asarray(link.mass, dtype),
+            jnp.asarray(link.inertia, dtype),
+            jnp.asarray(link.com, dtype),
+        )
+        for link in mech.links
+    ]
+
+
+def crba_mass_matrix(mech: Mechanism, q):
+    """Joint-space mass matrix ``M(q) [nv, nv]`` (Composite Rigid Body
+    Algorithm; equivalent of RigidBodyDynamics.jl ``mass_matrix``)."""
+
+    dtype = q.dtype
+    Xups, Ss = _tree_quantities(mech, q, dtype)
+    Ic = list(_body_inertias(mech, dtype))
+
+    n = mech.n_bodies
+    # Accumulate composite inertias root-ward.
+    for i in range(n - 1, -1, -1):
+        p = mech.parents[i]
+        if p >= 0:
+            Ic[p] = Ic[p] + Xups[i].T @ Ic[i] @ Xups[i]
+
+    H = [[None] * n for _ in range(n)]
+    for i in range(n):
+        Si = Ss[i]
+        if Si.shape[1] == 0:
+            continue
+        F = Ic[i] @ Si
+        H[i][i] = Si.T @ F
+        j = i
+        while mech.parents[j] >= 0:
+            F = Xups[j].T @ F
+            j = mech.parents[j]
+            Sj = Ss[j]
+            if Sj.shape[1] > 0:
+                H[i][j] = F.T @ Sj
+
+    nv = mech.nv
+    M = jnp.zeros((nv, nv), dtype)
+    for i in range(n):
+        vi = mech.v_slices[i]
+        if vi[1] == vi[0]:
+            continue
+        M = M.at[vi[0]:vi[1], vi[0]:vi[1]].set(H[i][i])
+        for j in range(n):
+            if j != i and H[i][j] is not None:
+                vj = mech.v_slices[j]
+                M = M.at[vi[0]:vi[1], vj[0]:vj[1]].set(H[i][j])
+                M = M.at[vj[0]:vj[1], vi[0]:vi[1]].set(H[i][j].T)
+    return M
+
+
+def rnea_bias(mech: Mechanism, q, v):
+    """Bias forces ``C(q, v) v + g(q) [nv]`` — the generalized forces needed
+    to produce zero acceleration (RNEA with q̈ = 0; equivalent of
+    RigidBodyDynamics.jl ``dynamics_bias``)."""
+
+    dtype = q.dtype
+    Xups, Ss = _tree_quantities(mech, q, dtype)
+    Is = _body_inertias(mech, dtype)
+    n = mech.n_bodies
+
+    # Gravity enters as a fictitious base acceleration -g (world frame).
+    a_grav = jnp.concatenate([
+        jnp.zeros(3, dtype), -jnp.asarray(mech.gravity, dtype)])
+
+    vs: List = [None] * n
+    avp: List = [None] * n
+    fs: List = [None] * n
+    for i in range(n):
+        p = mech.parents[i]
+        lo, hi = mech.v_slices[i]
+        vJ = Ss[i] @ v[lo:hi] if hi > lo else jnp.zeros(6, dtype)
+        if p < 0:
+            vs[i] = vJ
+            avp[i] = Xups[i] @ a_grav
+        else:
+            vs[i] = Xups[i] @ vs[p] + vJ
+            avp[i] = Xups[i] @ avp[p] + crm(vs[i]) @ vJ
+        fs[i] = Is[i] @ avp[i] + crf(vs[i]) @ (Is[i] @ vs[i])
+
+    tau = jnp.zeros(mech.nv, dtype)
+    for i in range(n - 1, -1, -1):
+        lo, hi = mech.v_slices[i]
+        if hi > lo:
+            tau = tau.at[lo:hi].set(Ss[i].T @ fs[i])
+        p = mech.parents[i]
+        if p >= 0:
+            fs[p] = fs[p] + Xups[i].T @ fs[i]
+    return tau
+
+
+def forward_dynamics(mech: Mechanism, q, v, tau):
+    """``v̇ = M(q)^{-1} (tau - bias(q, v))`` via CRBA + RNEA + the unrolled
+    SPD solve (the reference's ``v̇ = M \\ (-dynamics_bias + u)``,
+    RBD_helper_functions.jl:65)."""
+
+    from ilqr_tpu.ops.linalg import solve_psd_small
+
+    M = crba_mass_matrix(mech, q)
+    bias = rnea_bias(mech, q, v)
+    return solve_psd_small(M, tau - bias)

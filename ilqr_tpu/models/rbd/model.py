@@ -1,0 +1,137 @@
+"""Floating-base arm model on the rigid-body layer — the reference's second
+benchmark problem (test/RBD_2_link_example/RBD_helper_functions.jl).
+
+State chart (matching the reference's iLQR state, n = 2*nv):
+
+    x = [p (3, MRP attitude), r (3, base position), θ (nj, joints),
+         ω (3, body angular vel), v (3, body linear vel), θ̇ (nj)]
+
+The reference integrates base position as ``ṙ = v`` even though the
+floating joint's linear velocity is body-frame
+(RBD_helper_functions.jl:68 — RigidBodyDynamics.jl would use ṙ = R(q) v);
+``reference_kinematics=True`` replicates that, the default uses the correct
+rotation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.rbd.dynamics import forward_dynamics
+from ilqr_tpu.models.rbd.rotations import (
+    p_from_q,
+    pdot_from_w,
+    q_from_p,
+    quat_to_rotmat,
+)
+from ilqr_tpu.models.rbd.urdf import Mechanism, parse_urdf
+from ilqr_tpu.problem import Problem
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
+TWO_DOF_ARM_URDF = os.path.join(ASSET_DIR, "2Dof_arm.urdf")
+
+
+def rbd_to_mrp_state(x):
+    """[quat(4); rest] → [mrp(3); rest] (RBD_helper_functions.jl:29-33)."""
+
+    return jnp.concatenate([p_from_q(x[:4]), x[4:]])
+
+
+def mrp_to_rbd_state(x):
+    """[mrp(3); rest] → [quat(4); rest] (RBD_helper_functions.jl:36-41)."""
+
+    return jnp.concatenate([q_from_p(x[:3]), x[3:]])
+
+
+def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
+                      reference_kinematics: bool = False):
+    """RK4 discrete dynamics over the MRP state
+    (RBD_helper_functions.jl:48-79).
+
+    The mechanism must have a floating base joint first (``parse_urdf(...,
+    floating=True)``).  ``u`` spans all nv degrees of freedom — like the
+    reference, the base is directly actuated (6 wrench components) alongside
+    the joint torques.
+    """
+
+    assert mech.joints[0].joint_type == "floating", (
+        "make_rbd_dynamics expects a floating-base mechanism")
+    nj = mech.nv - 6
+
+    def continuous_dynamics(x, u):
+        p = x[0:3]
+        r = x[3:6]
+        theta = x[6:6 + nj]
+        vel = x[6 + nj:]           # [ω(3), v(3), θ̇(nj)]
+        omega = vel[0:3]
+        v_lin = vel[3:6]
+
+        quat = q_from_p(p)
+        q_mech = jnp.concatenate([quat, r, theta])
+        vdot = forward_dynamics(mech, q_mech, vel, u)
+
+        p_dot = pdot_from_w(p, omega)
+        if reference_kinematics:
+            r_dot = v_lin          # the reference's ṙ = v quirk (:68)
+        else:
+            r_dot = quat_to_rotmat(quat) @ v_lin
+        theta_dot = vel[6:]
+        q_dot = jnp.concatenate([p_dot, r_dot, theta_dot])
+        return jnp.concatenate([q_dot, vdot])
+
+    def dynamics(x, u):
+        k1 = dt * continuous_dynamics(x, u)
+        k2 = dt * continuous_dynamics(x + k1 / 2.0, u)
+        k3 = dt * continuous_dynamics(x + k2 / 2.0, u)
+        k4 = dt * continuous_dynamics(x + k3, u)
+        return x + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+
+    return dynamics
+
+
+def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
+                         urdf_path: str = TWO_DOF_ARM_URDF,
+                         dt: float = 0.01,
+                         terminal_weight: float = 1e5,
+                         reference_kinematics: bool = False) -> Problem:
+    """The reference's floating-base 2-DoF arm swing-up
+    (animate_RBD_2_link.jl:8-10 + RBD_helper_functions.jl:85-116):
+    zero gravity, pose target [MRP(3), position(3), joints(2)], diagonal
+    pose/torque weights, heavy terminal weight."""
+
+    mech = parse_urdf(urdf_path, floating=True, gravity=(0.0, 0.0, 0.0))
+    nj = mech.nv - 6
+    npose = 6 + nj
+    if target_pose is None:
+        # The example's target (animate_RBD_2_link.jl:10).
+        target_pose = [0.0, 0.0, 0.0, 5.0, 1.0, 2.0, 1.0, 0.3]
+    target = jnp.asarray(target_pose)
+    assert target.shape == (npose,)
+
+    dynamics = make_rbd_dynamics(mech, dt=dt,
+                                 reference_kinematics=reference_kinematics)
+
+    # Diagonal weights from RBD_helper_functions.jl:88-116.
+    q_weights = jnp.asarray([100.0] * 3 + [1.0] * 3 + [10.0] * nj)
+    r_weights = jnp.asarray([1.0] * 3 + [100.0] * 3 + [10.0] * nj)
+    qf_weights = jnp.asarray([100.0] * 3 + [1000.0] * 3 + [10.0] * nj)
+
+    def immediate_cost(x, u):
+        dx = target - x[:npose]
+        return 10.0 * jnp.sum(q_weights * dx * dx) + jnp.sum(r_weights * u * u)
+
+    def final_cost(x):
+        dx = target - x[:npose]
+        return terminal_weight * jnp.sum(qf_weights * dx * dx)
+
+    return Problem(
+        dynamics=dynamics,
+        cost=immediate_cost,
+        final_cost=final_cost,
+        state_dim=2 * mech.nv,
+        control_dim=mech.nv,
+        name="rbd_2dof_arm",
+    )

@@ -1,0 +1,92 @@
+"""Derivative-layer tests: the linearization test the reference intended.
+
+The reference's ``test/test_linearize_dynamics.jl`` meant to verify that the
+linearized dynamics track the true dynamics along a trajectory but called a
+batched API that never existed (its :10) — here that test exists and runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu.derivatives import (
+    linearize_dynamics,
+    quadratize_final_cost,
+    quadratize_running_cost,
+)
+from ilqr_tpu.models.two_link import TwoLinkParams, make_two_link_problem
+from ilqr_tpu.problem import rollout
+
+
+def test_linearization_tracks_dynamics():
+    problem = make_two_link_problem()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(4) * 0.1)
+    us = jnp.asarray(rng.standard_normal((50, 2)) * 0.1)
+    xs = rollout(problem.dynamics, x0, us)
+
+    As, Bs = linearize_dynamics(problem.dynamics, xs[:-1], us)
+    assert As.shape == (50, 4, 4) and Bs.shape == (50, 4, 2)
+
+    # First-order prediction of a perturbed step matches to O(eps^2).
+    eps = 1e-5
+    dx = jnp.asarray(rng.standard_normal(4)) * eps
+    du = jnp.asarray(rng.standard_normal(2)) * eps
+    k = 7
+    f = problem.dynamics
+    true_step = f(xs[k] + dx, us[k] + du)
+    pred_step = f(xs[k], us[k]) + As[k] @ dx + Bs[k] @ du
+    assert jnp.max(jnp.abs(true_step - pred_step)) < 1e-8
+
+
+def test_quadratization_exact_on_quadratic_cost():
+    n, m = 3, 2
+    rng = np.random.default_rng(1)
+    Q = rng.standard_normal((n, n)); Q = Q @ Q.T
+    R = rng.standard_normal((m, m)); R = R @ R.T
+    P = rng.standard_normal((m, n))
+    qv = rng.standard_normal(n)
+    rv = rng.standard_normal(m)
+
+    Qj, Rj, Pj, qj, rj = map(jnp.asarray, (Q, R, P, qv, rv))
+
+    def cost(x, u):
+        return (0.5 * x @ Qj @ x + 0.5 * u @ Rj @ u + u @ Pj @ x
+                + qj @ x + rj @ u + 1.5)
+
+    xs = jnp.asarray(rng.standard_normal((4, n)))
+    us = jnp.asarray(rng.standard_normal((4, m)))
+    q, qx, ru, Qxx, Pux, Ruu = quadratize_running_cost(cost, xs, us)
+
+    for t in range(4):
+        x, u = np.asarray(xs[t]), np.asarray(us[t])
+        np.testing.assert_allclose(qx[t], Q @ x + P.T @ u + qv, atol=1e-10)
+        np.testing.assert_allclose(ru[t], R @ u + P @ x + rv, atol=1e-10)
+        np.testing.assert_allclose(Qxx[t], Q, atol=1e-10)
+        np.testing.assert_allclose(Pux[t], P, atol=1e-10)
+        np.testing.assert_allclose(Ruu[t], R, atol=1e-10)
+
+
+def test_final_quadratization():
+    def phi(x):
+        return jnp.sum((x - 1.0) ** 2)
+
+    x = jnp.asarray([0.5, 2.0, -1.0])
+    q, qx, Qxx = quadratize_final_cost(phi, x)
+    np.testing.assert_allclose(q, float(np.sum((np.asarray(x) - 1) ** 2)))
+    np.testing.assert_allclose(qx, 2 * (np.asarray(x) - 1), atol=1e-12)
+    np.testing.assert_allclose(Qxx, 2 * np.eye(3), atol=1e-12)
+
+
+def test_cost_only_depending_on_u_is_fine():
+    """The ForwardDiff.jl caveat (src/backward_pass.jl:61-70) must not apply."""
+
+    def cost(x, u):
+        return jnp.sum(u ** 2)
+
+    xs = jnp.ones((3, 4))
+    us = jnp.ones((3, 2))
+    q, qx, ru, Qxx, Pux, Ruu = quadratize_running_cost(cost, xs, us)
+    np.testing.assert_allclose(qx, 0.0)
+    np.testing.assert_allclose(Pux, 0.0)
+    np.testing.assert_allclose(Ruu[0], 2 * np.eye(2), atol=1e-12)

@@ -1,0 +1,132 @@
+"""Metrics trace, checkpointing, and cost-library tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu.config import ILQRConfig, Status
+from ilqr_tpu.costs import (
+    add_costs,
+    effort_cost,
+    quadratic_final_cost,
+    quadratic_tracking_cost,
+    workspace_target_final_cost,
+)
+from ilqr_tpu.models.two_link import (
+    TwoLinkParams,
+    forward_kinematics,
+    make_two_link_problem,
+)
+from ilqr_tpu.problem import Problem, rollout
+from ilqr_tpu.solver import solve
+from ilqr_tpu.utils.checkpoint import load_solver_state, save_solver_state
+from ilqr_tpu.utils.metrics import solve_with_trace
+
+
+def test_trace_matches_solver_result():
+    problem = make_two_link_problem()
+    T = 20
+    x0 = jnp.asarray([0.1, -0.1, 0.0, 0.0])
+    us0 = jnp.zeros((T, 2))
+    xs0 = rollout(problem.dynamics, x0, us0)
+    config = ILQRConfig(max_iter=30, tol=1e-6)
+
+    plain = solve(problem, xs0, us0, config=config)
+    traced, trace = solve_with_trace(problem, xs0, us0, config=config)
+
+    np.testing.assert_allclose(np.asarray(traced.us), np.asarray(plain.us),
+                               atol=1e-12)
+    assert int(traced.iterations) == int(plain.iterations)
+    assert int(traced.status) == int(plain.status)
+    n = int(traced.iterations)
+    valid = np.asarray(trace.valid)
+    assert valid[:n].all() and not valid[n:].any()
+    # Costs decrease monotonically over the valid iterations (the property
+    # the reference asserts per-iteration, src/forward_pass.jl:168).
+    costs = np.asarray(trace.cost)[:n]
+    assert (np.diff(costs) <= 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    problem = make_two_link_problem()
+    T = 10
+    x0 = jnp.asarray([0.2, 0.0, 0.0, 0.0])
+    us0 = jnp.zeros((T, 2))
+    xs0 = rollout(problem.dynamics, x0, us0)
+    result = solve(problem, xs0, us0, config=ILQRConfig(max_iter=20))
+
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_solver_state(path, result)
+    restored = load_solver_state(path, result)
+    np.testing.assert_array_equal(np.asarray(restored.us), np.asarray(result.us))
+    np.testing.assert_array_equal(np.asarray(restored.status),
+                                  np.asarray(result.status))
+
+
+def test_cost_library_forms():
+    Q = jnp.asarray([1.0, 2.0, 0.0, 0.0])
+    R = jnp.asarray([0.5, 0.5])
+    target = jnp.asarray([1.0, -1.0, 0.0, 0.0])
+    cost = quadratic_tracking_cost(Q, R, target)
+    x = jnp.asarray([0.0, 0.0, 3.0, 3.0])
+    u = jnp.asarray([2.0, -2.0])
+    # (1*1 + 2*1) + (0.5*4 + 0.5*4) = 3 + 4
+    np.testing.assert_allclose(float(cost(x, u)), 7.0)
+
+    phi = quadratic_final_cost(Q, target, weight=10.0)
+    np.testing.assert_allclose(float(phi(x)), 30.0)
+
+    eff = effort_cost(2.0)
+    np.testing.assert_allclose(float(eff(x, u)), 16.0)
+
+    combo = add_costs(cost, eff)
+    np.testing.assert_allclose(float(combo(x, u)), 23.0)
+
+
+def test_workspace_cost_solves_two_link_with_adaptive_reg():
+    """Solve the swing-up with a workspace (tool-point) cost instead of the
+    joint-space IK cost — the reference's dead cost_functions.jl intent.
+
+    The workspace cost is nonconvex (indefinite Qxx), so the fixed-λ
+    backward pass produces a non-PD Quu and NaN gains on iteration 1 (the
+    reference's LU-based solve would produce a garbage step and its
+    unbounded line search would hang).  The adaptive λ-escalation schedule
+    recovers and converges — this is the failure-recovery subsystem test."""
+
+    params = TwoLinkParams()
+    problem_joint = make_two_link_problem(params)
+    target = jnp.asarray([params.target_x, params.target_y])
+
+    def tool_fk(x):
+        _, tool = forward_kinematics(params, x[:2])
+        return tool
+
+    def running_ws(x, u):
+        return jnp.sum((tool_fk(x) - target) ** 2)
+
+    from ilqr_tpu.costs import add_costs
+
+    final = workspace_target_final_cost(tool_fk, target, weight=200.0)
+    problem = Problem(
+        dynamics=problem_joint.dynamics,
+        cost=add_costs(effort_cost(0.01), running_ws),
+        final_cost=final,
+    )
+    T = 300
+    x0 = jnp.asarray([0.1, -0.1, 0.0, 0.0])
+    us0 = jnp.zeros((T, 2))
+    xs0 = rollout(problem.dynamics, x0, us0)
+
+    # Without adaptive reg: fixed-λ backward pass fails on iteration 1.
+    fixed = solve(problem, xs0, us0,
+                  config=ILQRConfig(max_iter=50, tol=1e-8))
+    assert int(fixed.status) == int(Status.LINESEARCH_FAILED)
+
+    # With adaptive reg: converges to the target.
+    result = solve(problem, xs0, us0,
+                   config=ILQRConfig(max_iter=500, tol=1e-8, tol_grad=1e-10,
+                                     adaptive_reg=True))
+    assert int(result.status) == int(Status.CONVERGED)
+    tool_err = float(jnp.sum((tool_fk(result.xs[-1]) - target) ** 2))
+    assert tool_err < 1e-4, tool_err
