@@ -35,6 +35,7 @@ from ilqr_tpu.derivatives import (
     quadratize_running_cost,
 )
 from ilqr_tpu.ops.linalg import solve_psd_small
+from ilqr_tpu.ops import smallmat as sm
 from ilqr_tpu.precision import highest_precision
 from ilqr_tpu.problem import Problem
 
@@ -56,24 +57,31 @@ def riccati_step(carry, inp, reg, symmetrize):
     s, s_vec, S = carry
     A, B, q, qx, ru, Qxx, Pux, Ruu = inp
 
-    BT_S = B.T @ S
-    g = ru + B.T @ s_vec                      # Qu
-    G = Pux + BT_S @ A                        # Qux  [m, n]
-    H = Ruu + BT_S @ B                        # Quu  [m, m]
+    # All products go through ops.smallmat: broadcast-multiply-reduce VPU
+    # contractions instead of MXU dot_generals — n, m are tiny, and under
+    # vmap each scalar of the n^3 loops becomes one batch-wide vector op at
+    # exact f32 (no bf16 MXU passes).
+    BT_S = sm.mtm(B, S)
+    g = ru + sm.mtv(B, s_vec)                 # Qu
+    G = Pux + sm.mm(BT_S, A)                  # Qux  [m, n]
+    H = Ruu + sm.mm(BT_S, B)                  # Quu  [m, m]
 
     m = H.shape[-1]
     H_reg = H + reg * jnp.eye(m, dtype=H.dtype)
     duff = -solve_psd_small(H_reg, g)
     K = -solve_psd_small(H_reg, G)
 
-    H_duff = H @ duff
-    s_new = q + s + 0.5 * duff @ H_duff + duff @ g
-    s_vec_new = qx + A.T @ s_vec + K.T @ H_duff + K.T @ g + G.T @ duff
-    S_new = Qxx + A.T @ S @ A + K.T @ H @ K + K.T @ G + G.T @ K
+    H_duff = sm.mv(H, duff)
+    s_new = q + s + 0.5 * sm.vv(duff, H_duff) + sm.vv(duff, g)
+    s_vec_new = (qx + sm.mtv(A, s_vec) + sm.mtv(K, H_duff) + sm.mtv(K, g)
+                 + sm.mtv(G, duff))
+    KtG = sm.mtm(K, G)
+    S_new = (Qxx + sm.mtm(A, sm.mm(S, A)) + sm.mtm(K, sm.mm(H, K))
+             + KtG + jnp.swapaxes(KtG, -1, -2))
     if symmetrize:
-        S_new = 0.5 * (S_new + S_new.T)
+        S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
 
-    out = (duff, K, duff @ g, 0.5 * duff @ H_duff)
+    out = (duff, K, sm.vv(duff, g), 0.5 * sm.vv(duff, H_duff))
     return (s_new, s_vec_new, S_new), out
 
 
@@ -128,6 +136,15 @@ def backward_pass(problem: Problem, xs: jax.Array, us: jax.Array,
             As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
             reg=reg, symmetrize=config.symmetrize,
         )
+    if config.backward_backend == "pallas":
+        from ilqr_tpu.ops.riccati_dispatch import (
+            make_riccati_op, pallas_interpret_default)
+
+        op = make_riccati_op(config.symmetrize, config.scan_unroll,
+                             pallas_interpret_default())
+        duffs, Ks, dv1, dv2 = op(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
+                                 jnp.asarray(reg, As.dtype))
+        return BackwardResult(duffs, Ks, dv1, dv2)
     return riccati_scan(
         As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
         reg=reg, symmetrize=config.symmetrize, unroll=config.scan_unroll,

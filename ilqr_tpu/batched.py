@@ -1,0 +1,343 @@
+"""Fused batch-last solver engine — the production path for scenario batches.
+
+``ilqr_tpu.solver.solve`` is written per-scenario and scaled with ``vmap``.
+That is always correct, but on TPU the ``vmap``-inserted leading batch axis
+leaves tiny ``[..., n, n]`` minor dimensions on every materialized array
+(scan inputs/outputs, loop carries), and the hardware tiles the minor two
+dims to (8, 128) — a 4x4-minor array pays a 64x padding tax in memory
+bandwidth.  Measured on a v5e: the identical Riccati recursion runs at
+0.09 ms when the batch is the minor axis and ~30 ms through the vmap
+layout.
+
+This module implements the same algorithm natively batch-LAST: every
+array carries the scenario batch as its trailing (lane) axis —
+trajectories ``[T+1, n, B]``, gains ``[T, m, n, B]``, per-lane scalars
+``[B]``.  User dynamics/cost callables are still written per-scenario;
+they are vmapped with ``in_axes=-1 / out_axes=-1`` so their internals fuse
+and only batch-minor arrays materialize.  Per-lane line search and
+convergence masks replicate exactly the semantics of the vmapped solver
+(tested for equality).
+
+The backward recursion runs in the fused Pallas kernel on TPU and a
+batch-last ``lax.scan`` elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.config import DEFAULT_CONFIG, ILQRConfig, Status
+from ilqr_tpu.ops import smallmat as sm
+from ilqr_tpu.precision import highest_precision
+from ilqr_tpu.problem import Problem
+from ilqr_tpu.solver import SolverResult
+
+
+def _batched_callables(problem: Problem):
+    bdyn = jax.vmap(problem.dynamics, in_axes=(-1, -1), out_axes=-1)
+    bcost = jax.vmap(problem.cost, in_axes=(-1, -1), out_axes=-1)
+    bfinal = jax.vmap(problem.final_cost, in_axes=-1, out_axes=-1)
+    return bdyn, bcost, bfinal
+
+
+@highest_precision
+def rollout_bl(problem: Problem, x0, us, unroll=1):
+    """Open-loop rollout, batch-last: ``x0 [n, B]``, ``us [T, m, B]`` →
+    ``xs [T+1, n, B]``."""
+
+    bdyn, _, _ = _batched_callables(problem)
+
+    def step(x, u):
+        x_next = bdyn(x, u)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, us, unroll=unroll)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def total_cost_bl(problem: Problem, xs, us, x_ref=None):
+    """Per-lane total cost ``[B]`` (same semantics as problem.total_cost)."""
+
+    _, bcost, bfinal = _batched_callables(problem)
+    xs_run = xs[:-1]
+    if x_ref is not None:
+        xs_run = xs_run - x_ref[: xs_run.shape[0]]
+    step_costs = jax.vmap(bcost)(xs_run, us)  # [T, B]
+    return jnp.sum(step_costs, axis=0) + bfinal(xs[-1])
+
+
+@highest_precision
+def derivatives_bl(problem: Problem, xs, us):
+    """All local models, batch-last: returns
+    ``As [T,n,n,B], Bs [T,n,m,B], qx [T,n,B], ru [T,m,B], Qxx [T,n,n,B],
+    Pux [T,m,n,B], Ruu [T,m,m,B], qxN [n,B], QN [n,n,B]``."""
+
+    n = xs.shape[1]
+
+    jac = jax.jacfwd(problem.dynamics, argnums=(0, 1))
+    jac_b = jax.vmap(jac, in_axes=(-1, -1), out_axes=-1)
+    As, Bs = jax.vmap(jac_b)(xs[:-1], us)
+
+    def cost_z(z):
+        return problem.cost(z[:n], z[n:])
+
+    grad_z = jax.grad(cost_z)
+    hess_z = jax.jacfwd(grad_z)
+
+    def quad_one(x, u):
+        z = jnp.concatenate([x, u])
+        gz = grad_z(z)
+        Hz = hess_z(z)
+        return gz[:n], gz[n:], Hz[:n, :n], Hz[n:, :n], Hz[n:, n:]
+
+    quad_b = jax.vmap(quad_one, in_axes=(-1, -1), out_axes=-1)
+    qx, ru, Qxx, Pux, Ruu = jax.vmap(quad_b)(xs[:-1], us)
+
+    fgrad = jax.grad(problem.final_cost)
+    fhess = jax.jacfwd(fgrad)
+    qxN = jax.vmap(fgrad, in_axes=-1, out_axes=-1)(xs[-1])
+    QN = jax.vmap(fhess, in_axes=-1, out_axes=-1)(xs[-1])
+    return As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN
+
+
+@highest_precision
+def riccati_bl_scan(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN, reg,
+                    symmetrize=True, unroll=1):
+    """Batch-last backward recursion as a lax.scan (portable fallback;
+    same algebra as ilqr_tpu.backward.riccati_step)."""
+
+    def step(carry, inp):
+        s_vec, S = carry
+        A, B, qx_k, ru_k, Qxx_k, Pux_k, Ruu_k = inp
+
+        BT_S = sm.mtm_bl(B, S)
+        g = ru_k + sm.mtv_bl(B, s_vec)
+        G = Pux_k + sm.mm_bl(BT_S, A)
+        H = Ruu_k + sm.mm_bl(BT_S, B)
+
+        L = sm.cholesky_bl(H, reg)
+        duff = -sm.cho_solve_bl(L, g)
+        K = -sm.cho_solve_bl(L, G)
+
+        H_duff = sm.mv_bl(H, duff)
+        s_next = (qx_k + sm.mtv_bl(A, s_vec) + sm.mtv_bl(K, H_duff)
+                  + sm.mtv_bl(K, g) + sm.mtv_bl(G, duff))
+        KtG = sm.mtm_bl(K, G)
+        S_next = (Qxx_k + sm.mtm_bl(A, sm.mm_bl(S, A))
+                  + sm.mtm_bl(K, sm.mm_bl(H, K))
+                  + KtG + sm.transpose_bl(KtG))
+        if symmetrize:
+            S_next = 0.5 * (S_next + sm.transpose_bl(S_next))
+        out = (duff, K, sm.vv_bl(duff, g), 0.5 * sm.vv_bl(duff, H_duff))
+        return (s_next, S_next), out
+
+    _, (duffs, Ks, dv1, dv2) = jax.lax.scan(
+        step, (qxN, QN), (As, Bs, qx, ru, Qxx, Pux, Ruu),
+        reverse=True, unroll=unroll)
+    return duffs, Ks, jnp.sum(dv1, axis=0), jnp.sum(dv2, axis=0)
+
+
+def riccati_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN, reg, config):
+    if config.backward_backend == "pallas":
+        from ilqr_tpu.ops.pallas_riccati import riccati_scan_pallas_bl
+        from ilqr_tpu.ops.riccati_dispatch import pallas_interpret_default
+
+        return riccati_scan_pallas_bl(
+            As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN, reg=reg,
+            symmetrize=config.symmetrize,
+            interpret=pallas_interpret_default())
+    return riccati_bl_scan(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN, reg,
+                           symmetrize=config.symmetrize,
+                           unroll=config.scan_unroll)
+
+
+@highest_precision
+def closed_loop_rollout_bl(problem: Problem, xs, us, duffs, Ks, alpha,
+                           unroll=1):
+    """Per-lane closed-loop rollout: ``alpha [B]``."""
+
+    bdyn, _, _ = _batched_callables(problem)
+
+    def step(x_new, inp):
+        x_old, u_old, duff, K = inp
+        u_new = u_old + alpha[None, :] * duff + sm.mv_bl(K, x_new - x_old)
+        x_next = bdyn(x_new, u_new)
+        return x_next, (x_new, u_new)
+
+    x_last, (xs_new, us_new) = jax.lax.scan(
+        step, xs[0], (xs[:-1], us, duffs, Ks), unroll=unroll)
+    xs_new = jnp.concatenate([xs_new, x_last[None]], axis=0)
+    return xs_new, us_new
+
+
+@highest_precision
+def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
+                    x_ref=None, config: ILQRConfig = DEFAULT_CONFIG,
+                    active=None):
+    """Per-lane backtracking line search, batch-last.
+
+    Semantics identical to the vmapped ``forward_pass``: each lane accepts
+    the first alpha in 1, 1/2, … with any cost decrease (NaN rejected) and
+    freezes; the loop runs until every lane accepted or the ladder is
+    exhausted.  Returns ``(xs [T+1,n,B], us [T,m,B], cost [B],
+    accepted [B], alpha [B], backtracks [B])``.
+    """
+
+    B = xs.shape[-1]
+    dtype = xs.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    def cond(carry):
+        k, _alpha, accepted, *_ = carry
+        return jnp.logical_and(k < config.max_backtracks, ~jnp.all(accepted))
+
+    def body(carry):
+        k, alpha, accepted, bts, xs_b, us_b, cost_b = carry
+        xs_new, us_new = closed_loop_rollout_bl(
+            problem, xs, us, duffs, Ks, alpha, unroll=config.scan_unroll)
+        cost = total_cost_bl(problem, xs_new, us_new, x_ref).astype(dtype)
+        accept_now = jnp.logical_and(~accepted, (prev_cost - cost) > 0)
+        take = accept_now[None, None, :]
+        xs_b = jnp.where(take, xs_new, xs_b)
+        us_b = jnp.where(take, us_new, us_b)
+        cost_b = jnp.where(accept_now, cost, cost_b)
+        bts = jnp.where(accepted, bts, k)
+        accepted = jnp.logical_or(accepted, accept_now)
+        alpha = jnp.where(accepted, alpha, alpha * config.alpha_factor)
+        return (k + 1, alpha, accepted, bts, xs_b, us_b, cost_b)
+
+    init = (
+        jnp.int32(0),
+        jnp.full((B,), config.alpha0, dtype),
+        # Inactive lanes start "accepted" so they neither roll out usefully
+        # nor keep the ladder spinning; their outputs are masked upstream.
+        ~active,
+        jnp.zeros((B,), jnp.int32),
+        xs,
+        us,
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    k, alpha, accepted, bts, xs_b, us_b, cost_b = jax.lax.while_loop(
+        cond, body, init)
+    return xs_b, us_b, cost_b, accepted, alpha, bts
+
+
+@highest_precision
+def batched_solve_fused(problem: Problem, xs0, us0,
+                        x_ref: Optional[jax.Array] = None,
+                        config: ILQRConfig = DEFAULT_CONFIG) -> SolverResult:
+    """Solve a batch of scenarios with the fused batch-last engine.
+
+    Batch-FIRST interface (matching ``parallel.batch_solve``):
+    ``xs0 [B, T+1, n]``, ``us0 [B, T, m]`` → SolverResult with batch axis
+    first on every field.  Internally everything runs batch-last; the two
+    transposes at entry/exit are the only layout moves.
+    """
+
+    # To batch-last.
+    xs_bl = jnp.moveaxis(xs0, 0, -1)   # [T+1, n, B]
+    us_bl = jnp.moveaxis(us0, 0, -1)   # [T, m, B]
+    x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
+    B = xs_bl.shape[-1]
+    dtype = xs_bl.dtype
+
+    def cond(state):
+        xs, us, prev_cost, iteration, status, reg, alpha, du_sq = state
+        return jnp.logical_and(jnp.any(status == int(Status.RUNNING)),
+                               iteration < config.max_iter)
+
+    def body(state):
+        xs, us, prev_cost, iteration, status, reg, alpha, du_sq = state
+        running = status == int(Status.RUNNING)
+
+        models = derivatives_bl(problem, xs, us)
+        duffs, Ks, dv1, dv2 = riccati_bl(*models, reg=reg, config=config)
+        xs_n, us_n, cost_n, accepted, alpha_n, _bts = forward_pass_bl(
+            problem, xs, us, duffs, Ks, prev_cost, x_ref_bl, config,
+            active=running)
+
+        du_sq_n = jnp.sum((us_n - us) ** 2, axis=(0, 1))
+        converged = jnp.logical_and(accepted, du_sq_n <= config.tol)
+        if config.tol_grad > 0.0:
+            converged = jnp.logical_or(converged,
+                                       jnp.abs(dv1) <= config.tol_grad)
+        ls_failed = jnp.logical_and(~accepted, ~converged)
+
+        if config.adaptive_reg:
+            reg_n = jnp.where(
+                ls_failed,
+                jnp.minimum(reg * config.reg_scale, config.reg_max),
+                jnp.maximum(reg / config.reg_scale, config.reg_min))
+            fatal_ls = jnp.logical_and(ls_failed, reg >= config.reg_max)
+        else:
+            reg_n = reg
+            fatal_ls = ls_failed
+
+        status_n = jnp.where(
+            converged, jnp.int32(int(Status.CONVERGED)),
+            jnp.where(fatal_ls, jnp.int32(int(Status.LINESEARCH_FAILED)),
+                      jnp.int32(int(Status.RUNNING))))
+
+        keep_old = (~accepted) | (converged if config.reference_return_semantics
+                                  else jnp.zeros_like(converged))
+        adopt = jnp.logical_and(running, ~keep_old)
+        take = adopt[None, None, :]
+        xs = jnp.where(take, xs_n, xs)
+        us = jnp.where(take, us_n, us)
+        upd_cost = jnp.logical_and(running, accepted)
+        prev_cost = jnp.where(upd_cost, cost_n, prev_cost)
+        status = jnp.where(running, status_n, status)
+        reg = jnp.where(running, reg_n, reg)
+        alpha = jnp.where(running, alpha_n, alpha)
+        du_sq = jnp.where(running, du_sq_n, du_sq)
+        # Track per-lane iteration counts (lanes stop counting once done).
+        iteration = iteration + 1
+        return (xs, us, prev_cost, iteration, status, reg, alpha, du_sq)
+
+    init = (
+        xs_bl, us_bl,
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.int32(0),
+        jnp.full((B,), int(Status.RUNNING), jnp.int32),
+        jnp.full((B,), config.reg, dtype),
+        jnp.full((B,), config.alpha0, dtype),
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    # Per-lane iteration counts need a separate accumulator.
+    iters = jnp.zeros((B,), jnp.int32)
+
+    def body_with_iters(carry):
+        state, iters = carry
+        running = state[4] == int(Status.RUNNING)
+        new_state = body(state)
+        iters = iters + running.astype(jnp.int32)
+        return (new_state, iters)
+
+    def cond_with_iters(carry):
+        state, _ = carry
+        return cond(state)
+
+    (final, iters) = jax.lax.while_loop(cond_with_iters, body_with_iters,
+                                        (init, iters))
+    xs, us, prev_cost, _iteration, status, reg, alpha, du_sq = final
+
+    status = jnp.where(status == int(Status.RUNNING),
+                       jnp.int32(int(Status.MAX_ITER)), status)
+    cost = jnp.where(jnp.isinf(prev_cost),
+                     total_cost_bl(problem, xs, us, x_ref_bl).astype(dtype),
+                     prev_cost)
+
+    return SolverResult(
+        xs=jnp.moveaxis(xs, -1, 0),
+        us=jnp.moveaxis(us, -1, 0),
+        cost=cost,
+        iterations=iters,
+        status=status,
+        reg=reg,
+        alpha=alpha,
+        du_sq=du_sq,
+    )

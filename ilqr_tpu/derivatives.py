@@ -44,16 +44,27 @@ def quadratize_running_cost(cost: Callable, xs: jax.Array, us: jax.Array):
     exactly as the reference's ``jacobian(x -> dL/du, x)`` (:99).
     """
 
-    grad_x = jax.grad(cost, argnums=0)
-    grad_u = jax.grad(cost, argnums=1)
+    n = xs.shape[-1]
+
+    # One gradient and one forward-over-reverse Hessian over the
+    # concatenated z = (x, u) — a single AD sweep yields all five blocks
+    # (the reference runs five separate ForwardDiff passes per step,
+    # src/backward_pass.jl:95-108).
+    def cost_z(z):
+        return cost(z[:n], z[n:])
+
+    grad_z = jax.grad(cost_z)
+    hess_z = jax.jacfwd(grad_z)
 
     def one_point(x, u):
-        q = cost(x, u)
-        qx = grad_x(x, u)
-        ru = grad_u(x, u)
-        Qxx = jax.jacfwd(grad_x, argnums=0)(x, u)
-        Pux = jax.jacfwd(grad_u, argnums=0)(x, u)  # [m, n]
-        Ruu = jax.jacfwd(grad_u, argnums=1)(x, u)
+        z = jnp.concatenate([x, u])
+        q = cost_z(z)
+        gz = grad_z(z)
+        Hz = hess_z(z)
+        qx, ru = gz[:n], gz[n:]
+        Qxx = Hz[:n, :n]
+        Pux = Hz[n:, :n]  # d2L/du dx, [m, n]
+        Ruu = Hz[n:, n:]
         return q, qx, ru, Qxx, Pux, Ruu
 
     return jax.vmap(one_point)(xs, us)

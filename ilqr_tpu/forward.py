@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.config import ILQRConfig, DEFAULT_CONFIG
+from ilqr_tpu.ops import smallmat as sm
 from ilqr_tpu.precision import highest_precision
 from ilqr_tpu.problem import Problem, total_cost
 
@@ -48,7 +49,7 @@ def closed_loop_rollout(problem: Problem, xs, us, duffs, Ks, alpha,
 
     def step(x_new, inp):
         x_old, u_old, duff, K = inp
-        u_new = u_old + alpha * duff + K @ (x_new - x_old)
+        u_new = u_old + alpha * duff + sm.mv(K, x_new - x_old)
         x_next = problem.dynamics(x_new, u_new)
         return x_next, (x_new, u_new)
 

@@ -1,0 +1,72 @@
+"""Fused batch-last engine vs the vmapped reference engine: identical
+results, all statuses, all iteration counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu.config import ILQRConfig, Status
+from ilqr_tpu.models.two_link import make_two_link_problem
+from ilqr_tpu.parallel.batching import batch_solve
+
+
+def _setup(B=6, T=25, seed=0):
+    problem = make_two_link_problem()
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(0.25 * rng.standard_normal((B, 4)))
+    us0 = jnp.zeros((B, T, 2))
+    return problem, x0s, us0
+
+
+def test_fused_matches_vmap_scan_backend():
+    problem, x0s, us0 = _setup()
+    config = ILQRConfig(max_iter=60, tol=1e-8)
+    ref = batch_solve(problem, x0s, us0, config=config, engine="vmap")
+    out = batch_solve(problem, x0s, us0, config=config, engine="fused")
+
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha))
+
+
+def test_fused_with_pallas_backend(monkeypatch):
+    monkeypatch.setenv("ILQR_TPU_PALLAS_INTERPRET", "1")
+    problem, x0s, us0 = _setup(B=4, T=12, seed=1)
+    config = ILQRConfig(max_iter=30, tol=1e-8, backward_backend="pallas")
+    ref = batch_solve(problem, x0s, us0,
+                      config=ILQRConfig(max_iter=30, tol=1e-8), engine="vmap")
+    out = batch_solve(problem, x0s, us0, config=config, engine="fused")
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_fused_failure_isolation():
+    """NaN-poisoned lane fails; the rest of the batch is unaffected."""
+
+    problem, x0s, us0 = _setup(B=3, T=15, seed=2)
+    x0s = x0s.at[1, 0].set(jnp.nan)
+    config = ILQRConfig(max_iter=40, tol=1e-8)
+    out = batch_solve(problem, x0s, us0, config=config, engine="fused")
+    ref = batch_solve(problem, x0s, us0, config=config, engine="vmap")
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    assert int(out.status[1]) != int(Status.CONVERGED)
+    assert int(out.status[0]) == int(Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(out.us)[[0, 2]],
+                               np.asarray(ref.us)[[0, 2]], atol=1e-10)
+
+
+def test_fused_adaptive_reg():
+    problem, x0s, us0 = _setup(B=3, T=20, seed=3)
+    config = ILQRConfig(max_iter=60, tol=1e-8, adaptive_reg=True)
+    ref = batch_solve(problem, x0s, us0, config=config, engine="vmap")
+    out = batch_solve(problem, x0s, us0, config=config, engine="fused")
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.reg), np.asarray(ref.reg))

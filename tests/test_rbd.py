@@ -134,6 +134,57 @@ def test_urdf_parse_reference_arm():
     assert mech.joints[2].effort_limit == 1000.0
 
 
+def test_six_dof_arm_parses_and_simulates():
+    """The reference ships an (unused) 6-DoF arm URDF; it must parse and
+    produce a sane fixed-base dynamics model."""
+
+    import os
+
+    from ilqr_tpu.models.rbd.model import ASSET_DIR
+    from ilqr_tpu.problem import rollout
+
+    path = os.path.join(ASSET_DIR, "6Dof_arm.urdf")
+    mech = parse_urdf(path, floating=False, gravity=(0.0, 0.0, 0.0))
+    assert mech.nv == 6
+    theta = jnp.asarray(np.linspace(-0.4, 0.4, 6))
+    M = crba_mass_matrix(mech, theta)
+    # SPD mass matrix.
+    eigs = np.linalg.eigvalsh(np.asarray(M))
+    assert (eigs > 0).all(), eigs
+    # Zero-velocity, zero-gravity bias vanishes.
+    bias = rnea_bias(mech, theta, jnp.zeros(6))
+    np.testing.assert_allclose(np.asarray(bias), 0.0, atol=1e-12)
+
+    # RK4 rollout of the passive arm stays finite and conserves energy.
+    import dataclasses as _dc
+
+    dt = 0.002
+
+    def cont(x, u):
+        from ilqr_tpu.models.rbd.dynamics import forward_dynamics
+
+        q, v = x[:6], x[6:]
+        vdot = forward_dynamics(mech, q, v, u)
+        return jnp.concatenate([v, vdot])
+
+    def dyn(x, u):
+        k1 = dt * cont(x, u)
+        k2 = dt * cont(x + k1 / 2, u)
+        k3 = dt * cont(x + k2 / 2, u)
+        k4 = dt * cont(x + k3, u)
+        return x + (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+
+    x0 = jnp.concatenate([theta, 0.2 * jnp.ones(6)])
+    xs = rollout(dyn, x0, jnp.zeros((25, 6)))
+    assert np.isfinite(np.asarray(xs)).all()
+
+    def kinetic(x):
+        return 0.5 * x[6:] @ crba_mass_matrix(mech, x[:6]) @ x[6:]
+
+    e0, e1 = float(kinetic(xs[0])), float(kinetic(xs[-1]))
+    assert abs(e1 - e0) / abs(e0) < 1e-6
+
+
 def test_mrp_quaternion_roundtrip():
     rng = np.random.default_rng(2)
     q = rng.standard_normal(4)
