@@ -35,13 +35,15 @@ def _time(f, *args, repeats=3):
 
 
 def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
-                  backend="pallas", engine="fused", dtype=jnp.float32):
+                  backend="pallas", engine="fused", dtype=jnp.float32,
+                  tol_grad=1e-10, tol_grad_rel=1e-6, adaptive_reg=False):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.models.two_link import make_two_link_problem
     from ilqr_tpu.parallel.batching import make_batch_solver
 
     problem = make_two_link_problem()
-    config = ILQRConfig(max_iter=max_iter, tol=tol, tol_grad=1e-10,
+    config = ILQRConfig(max_iter=max_iter, tol=tol, tol_grad=tol_grad,
+                        tol_grad_rel=tol_grad_rel, adaptive_reg=adaptive_reg,
                         backward_backend=backend)
     solve_fn = make_batch_solver(problem, config, engine=engine)
 
@@ -126,13 +128,18 @@ def main():
                     choices=["scan", "associative", "pallas"])
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--engine", default="fused", choices=["vmap", "fused"])
+    ap.add_argument("--tol-grad", type=float, default=1e-10)
+    ap.add_argument("--tol-grad-rel", type=float, default=1e-6)
+    ap.add_argument("--adaptive-reg", action="store_true")
     args = ap.parse_args()
 
     baseline_per_chip = 10000.0 / 16.0  # BASELINE.md: 10k solves/s on v5e-16
 
     if args.config == "batched":
         value = bench_batched(batch=args.batch, backend=args.backend,
-                              engine=args.engine)
+                              engine=args.engine, tol_grad=args.tol_grad,
+                              tol_grad_rel=args.tol_grad_rel,
+                              adaptive_reg=args.adaptive_reg)
         print(json.dumps({
             "metric": "ilqr_solves_per_s_per_chip_2link_N100",
             "value": round(value, 2),

@@ -5,7 +5,11 @@ URDF as a floating-base mechanism (zero gravity), roll out zero torques
 from the example's initial pose, fit with iLQR toward the 8-D target pose,
 and report per-iteration costs.
 
-    python examples/rbd_arm.py [--steps 1000] [--max-iter 50]
+    python examples/rbd_arm.py [--steps 1000] [--max-iter 50] [--cpu]
+
+``--cpu`` pins the run to the host CPU backend — useful where the TPU is
+reached through a remote-compile tunnel whose compile time scales badly
+with program size (the RBD dynamics trace is large).
 """
 
 import argparse
@@ -15,6 +19,7 @@ import sys
 # Allow running the example without installing the package.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.config import ILQRConfig
@@ -27,7 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     problem = make_rbd_arm_problem()  # target pose [0,0,0, 5,1,2, 1,.3]
 

@@ -256,15 +256,23 @@ def batched_solve_fused(problem: Problem, xs0, us0,
 
         models = derivatives_bl(problem, xs, us)
         duffs, Ks, dv1, dv2 = riccati_bl(*models, reg=reg, config=config)
+        # First-order-stationary lanes (predicted linear decrease ~ 0) have
+        # no improving alpha; excluding them from the ladder keeps one
+        # optimal lane from dragging the whole batch through
+        # max_backtracks full rollouts.
+        if config.tol_grad > 0.0 or config.tol_grad_rel > 0.0:
+            thresh = config.tol_grad + config.tol_grad_rel * jnp.where(
+                jnp.isfinite(prev_cost), jnp.abs(prev_cost), 0.0)
+            stationary = jnp.abs(dv1) <= thresh
+        else:
+            stationary = jnp.zeros((B,), bool)
         xs_n, us_n, cost_n, accepted, alpha_n, _bts = forward_pass_bl(
             problem, xs, us, duffs, Ks, prev_cost, x_ref_bl, config,
-            active=running)
+            active=jnp.logical_and(running, ~stationary))
 
         du_sq_n = jnp.sum((us_n - us) ** 2, axis=(0, 1))
         converged = jnp.logical_and(accepted, du_sq_n <= config.tol)
-        if config.tol_grad > 0.0:
-            converged = jnp.logical_or(converged,
-                                       jnp.abs(dv1) <= config.tol_grad)
+        converged = jnp.logical_or(converged, stationary)
         ls_failed = jnp.logical_and(~accepted, ~converged)
 
         if config.adaptive_reg:
@@ -288,7 +296,10 @@ def batched_solve_fused(problem: Problem, xs0, us0,
         take = adopt[None, None, :]
         xs = jnp.where(take, xs_n, xs)
         us = jnp.where(take, us_n, us)
-        upd_cost = jnp.logical_and(running, accepted)
+        # Stationary lanes skipped the ladder: their "accepted" flag is the
+        # inactive-lane placeholder and cost_n is inf — never adopt it.
+        upd_cost = jnp.logical_and(running,
+                                   jnp.logical_and(accepted, ~stationary))
         prev_cost = jnp.where(upd_cost, cost_n, prev_cost)
         status = jnp.where(running, status_n, status)
         reg = jnp.where(running, reg_n, reg)

@@ -57,6 +57,12 @@ class ILQRConfig:
     # line search loops forever (src/forward_pass.jl:70-87) — so this is 0.0
     # (disabled) by default for parity; set ~1e-12 for robust termination.
     tol_grad: float = 0.0
+    # Relative gradient tolerance: converged when |dV1| <= tol_grad +
+    # tol_grad_rel * cost.  This is the right scale in float32 — acceptance
+    # compares costs, so a predicted decrease below ~eps_f32 * cost can never
+    # be resolved by the line search and the iterate is converged to working
+    # precision.  0.0 (disabled) by default for reference parity.
+    tol_grad_rel: float = 0.0
     reg: float = 1e-2
     alpha0: float = 1.0
     alpha_factor: float = 0.5

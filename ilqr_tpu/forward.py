@@ -63,14 +63,23 @@ def closed_loop_rollout(problem: Problem, xs, us, duffs, Ks, alpha,
 @highest_precision
 def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
                  x_ref: Optional[jax.Array] = None,
-                 config: ILQRConfig = DEFAULT_CONFIG) -> ForwardResult:
+                 config: ILQRConfig = DEFAULT_CONFIG,
+                 active=None) -> ForwardResult:
     """Line-searched forward pass.
 
     Equivalent of the reference's public ``forward_pass`` (:55) with the
     trajectory-offset total cost of src/forward_pass.jl:182-196.
+
+    ``active`` (scalar bool, default True) gates the whole ladder: a solve
+    already known to be first-order stationary (|dV1| <= tol_grad) has no
+    improving alpha, so running the ladder would burn ``max_backtracks``
+    full rollouts to prove it.  Inactive returns ``accepted=False`` with
+    the inputs unchanged.
     """
 
     dtype = xs.dtype
+    if active is None:
+        active = jnp.bool_(True)
 
     def try_alpha(alpha):
         xs_new, us_new = closed_loop_rollout(problem, xs, us, duffs, Ks, alpha,
@@ -83,7 +92,9 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
 
     def cond(carry):
         k, _alpha, accepted, *_ = carry
-        return jnp.logical_and(~accepted, k < config.max_backtracks)
+        return jnp.logical_and(active,
+                               jnp.logical_and(~accepted,
+                                               k < config.max_backtracks))
 
     def body(carry):
         k, alpha, _accepted, xs_c, us_c, _cost = carry

@@ -83,18 +83,24 @@ def solve(problem: Problem, x_init: jax.Array, u_init: jax.Array,
 
     def body(state: _LoopState) -> _LoopState:
         bwd = backward_pass(problem, state.xs, state.us, config, reg=state.reg)
+        # First-order stationarity: predicted linear decrease ~ 0.  A
+        # stationary iterate has no improving alpha, so skip the line-search
+        # ladder entirely rather than burning max_backtracks rollouts
+        # proving it.
+        if config.tol_grad > 0.0 or config.tol_grad_rel > 0.0:
+            thresh = config.tol_grad + config.tol_grad_rel * jnp.where(
+                jnp.isfinite(state.prev_cost), jnp.abs(state.prev_cost), 0.0)
+            stationary = jnp.abs(bwd.dV1) <= thresh
+        else:
+            stationary = jnp.bool_(False)
         fwd = forward_pass(
             problem, state.xs, state.us, bwd.duffs, bwd.Ks,
-            state.prev_cost, x_ref, config,
+            state.prev_cost, x_ref, config, active=~stationary,
         )
 
         du_sq = jnp.sum((fwd.us - state.us) ** 2)
         converged = jnp.logical_and(fwd.accepted, du_sq <= config.tol)
-        if config.tol_grad > 0.0:
-            # Predicted linear decrease ~ 0 → first-order optimal, even if
-            # the strict-decrease line search can no longer accept a step.
-            converged = jnp.logical_or(
-                converged, jnp.abs(bwd.dV1) <= config.tol_grad)
+        converged = jnp.logical_or(converged, stationary)
         ls_failed = jnp.logical_and(~fwd.accepted, ~converged)
 
         if config.adaptive_reg:

@@ -79,3 +79,40 @@ def test_jitted_solver_factory():
     r1 = solve_fn(xs0, us0)
     r2 = solve_fn(xs0, us0)  # cached compile
     np.testing.assert_array_equal(np.asarray(r1.us), np.asarray(r2.us))
+
+
+def test_tol_grad_rel_stationary_convergence():
+    """With a relative gradient tolerance, a solve near the f32 cost-
+    resolution floor terminates CONVERGED via the stationarity test (and
+    skips the line-search ladder), instead of LINESEARCH_FAILED.  Both
+    engines must agree."""
+
+    from ilqr_tpu.batched import batched_solve_fused
+    from ilqr_tpu.problem import rollout
+
+    problem = make_two_link_problem()
+    T = 40
+    x0 = jnp.asarray([0.3, 0.7, 0.2, 0.5], jnp.float32)
+    us0 = jnp.zeros((T, 2), jnp.float32)
+    xs0 = rollout(problem.dynamics, x0, us0).astype(jnp.float32)
+
+    # Absurdly strict absolute tolerances: only the relative gradient test
+    # can fire.  tol=0 means du_sq <= 0 never converges on its own.
+    config = ILQRConfig(max_iter=200, tol=0.0, tol_grad=0.0,
+                        tol_grad_rel=1e-5)
+    result = solve(problem, xs0, us0, config=config)
+    assert int(result.status) == int(Status.CONVERGED), int(result.status)
+
+    # Fused engine: same scenario as a 1-lane batch reaches the same status
+    # and a matching trajectory.
+    rb = batched_solve_fused(problem, xs0[None], us0[None], config=config)
+    assert int(rb.status[0]) == int(Status.CONVERGED), int(rb.status[0])
+    np.testing.assert_allclose(np.asarray(rb.us[0]), np.asarray(result.us),
+                               rtol=0, atol=1e-5)
+
+
+def test_tol_grad_rel_zero_is_parity_default():
+    """tol_grad_rel=0 (default) leaves reference semantics untouched."""
+
+    cfg = ILQRConfig()
+    assert cfg.tol_grad_rel == 0.0 and cfg.tol_grad == 0.0
