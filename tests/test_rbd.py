@@ -279,3 +279,86 @@ def test_rbd_problem_solves():
     result = solve(problem, xs0, us0, config=ILQRConfig(max_iter=15, tol=0.0))
     assert np.isfinite(np.asarray(result.us)).all()
     assert float(result.cost) < cost0
+
+
+# ---------------------------------------------------------------------------
+# World-frame forward kinematics (kinematics.py).
+# ---------------------------------------------------------------------------
+
+def test_fk_matches_analytic_two_link(planar_mech):
+    """body_point_in_world on the planar 2-link tree equals the analytic
+    model's forward kinematics for the elbow and tool point."""
+
+    from ilqr_tpu.models.rbd.kinematics import body_point_in_world
+    from ilqr_tpu.models.two_link import forward_kinematics as fk_analytic
+
+    params = TwoLinkParams()
+    theta = jnp.asarray([0.37, -1.12])
+    j1, tool = fk_analytic(params, theta)
+
+    elbow = body_point_in_world(planar_mech, theta, "l1", [L, 0.0, 0.0])
+    tip = body_point_in_world(planar_mech, theta, "l2", [L, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(elbow[:2]), np.asarray(j1),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tip[:2]), np.asarray(tool),
+                               atol=1e-12)
+    assert float(tip[2]) == 0.0  # planar
+
+
+def test_fk_floating_base_translation_and_rotation():
+    """Floating base: FK places children at base pose + rotated offsets."""
+
+    from ilqr_tpu.models.rbd.kinematics import forward_kinematics
+    from ilqr_tpu.models.rbd.model import TWO_DOF_ARM_URDF
+    from ilqr_tpu.models.rbd.rotations import quat_to_rotmat
+
+    mech = parse_urdf(TWO_DOF_ARM_URDF, floating=True,
+                      gravity=(0.0, 0.0, 0.0))
+    # 90° about z, base at (1, 2, 3).
+    q_base = jnp.asarray([math.cos(math.pi / 4), 0.0, 0.0,
+                          math.sin(math.pi / 4)])
+    r_base = jnp.asarray([1.0, 2.0, 3.0])
+    q = jnp.concatenate([q_base, r_base, jnp.zeros(mech.nq - 7)])
+    poses = forward_kinematics(mech, q)
+    R0, p0 = poses[0]
+    np.testing.assert_allclose(np.asarray(p0), [1.0, 2.0, 3.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(R0),
+                               np.asarray(quat_to_rotmat(q_base)), atol=1e-12)
+    # Every child's world position = base + R0 @ (its position with the
+    # identity base at the origin).
+    q_id = jnp.concatenate([jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                            jnp.zeros(3), q[7:]])
+    poses_id = forward_kinematics(mech, q_id)
+    for (R, p), (Ri, pi) in zip(poses[1:], poses_id[1:]):
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(r_base + R0 @ pi), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R0 @ Ri),
+                                   atol=1e-10)
+
+
+def test_workspace_cost_via_fk_is_differentiable(planar_mech):
+    """The reference's dead cost_functions.jl pattern, alive: a workspace
+    final cost built on FK has correct gradients (vs finite differences)
+    and vmaps."""
+
+    from ilqr_tpu.costs import workspace_target_final_cost
+    from ilqr_tpu.models.rbd.kinematics import body_point_in_world
+
+    def tool_xy(x):
+        return body_point_in_world(planar_mech, x[:2], "l2", [L, 0.0, 0.0])[:2]
+
+    phi = workspace_target_final_cost(tool_xy, target=[0.6, -0.5],
+                                      weight=3.0)
+    x = jnp.asarray([0.3, 0.4, 0.0, 0.0])
+    g = jax.grad(phi)(x)
+    eps = 1e-6
+    for i in range(2):
+        xp = x.at[i].add(eps)
+        xm = x.at[i].add(-eps)
+        fd = (phi(xp) - phi(xm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g[2:]), 0.0, atol=1e-12)
+
+    batch = jnp.stack([x, x + 0.1, x - 0.2])
+    vals = jax.vmap(phi)(batch)
+    assert vals.shape == (3,) and bool(jnp.all(jnp.isfinite(vals)))
