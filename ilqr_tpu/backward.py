@@ -31,6 +31,9 @@ import jax.numpy as jnp
 from ilqr_tpu.config import ILQRConfig, DEFAULT_CONFIG
 from ilqr_tpu.derivatives import (
     linearize_dynamics,
+    problem_linearize,
+    problem_quadratize_final,
+    problem_quadratize_running,
     quadratize_final_cost,
     quadratize_running_cost,
 )
@@ -125,9 +128,9 @@ def backward_pass(problem: Problem, xs: jax.Array, us: jax.Array,
     if reg is None:
         reg = config.reg
 
-    As, Bs = linearize_dynamics(problem.dynamics, xs[:-1], us)
-    q, qx, ru, Qxx, Pux, Ruu = quadratize_running_cost(problem.cost, xs[:-1], us)
-    qN, qxN, QN = quadratize_final_cost(problem.final_cost, xs[-1])
+    As, Bs = problem_linearize(problem, xs[:-1], us)
+    q, qx, ru, Qxx, Pux, Ruu = problem_quadratize_running(problem, xs[:-1], us)
+    qN, qxN, QN = problem_quadratize_final(problem, xs[-1])
 
     if config.backward_backend == "associative":
         from ilqr_tpu.pit import riccati_associative_scan

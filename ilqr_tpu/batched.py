@@ -77,29 +77,45 @@ def derivatives_bl(problem: Problem, xs, us):
 
     n = xs.shape[1]
 
-    jac = jax.jacfwd(problem.dynamics, argnums=(0, 1))
-    jac_b = jax.vmap(jac, in_axes=(-1, -1), out_axes=-1)
+    if problem.dynamics_jacobians is not None:
+        jac_b = jax.vmap(problem.dynamics_jacobians, in_axes=(-1, -1),
+                         out_axes=-1)
+    else:
+        jac = jax.jacfwd(problem.dynamics, argnums=(0, 1))
+        jac_b = jax.vmap(jac, in_axes=(-1, -1), out_axes=-1)
     As, Bs = jax.vmap(jac_b)(xs[:-1], us)
 
-    def cost_z(z):
-        return problem.cost(z[:n], z[n:])
+    if problem.cost_quadratization is not None:
+        def quad_one(x, u):
+            _q, qx, ru, Qxx, Pux, Ruu = problem.cost_quadratization(x, u)
+            return qx, ru, Qxx, Pux, Ruu
+    else:
+        def cost_z(z):
+            return problem.cost(z[:n], z[n:])
 
-    grad_z = jax.grad(cost_z)
-    hess_z = jax.jacfwd(grad_z)
+        grad_z = jax.grad(cost_z)
+        hess_z = jax.jacfwd(grad_z)
 
-    def quad_one(x, u):
-        z = jnp.concatenate([x, u])
-        gz = grad_z(z)
-        Hz = hess_z(z)
-        return gz[:n], gz[n:], Hz[:n, :n], Hz[n:, :n], Hz[n:, n:]
+        def quad_one(x, u):
+            z = jnp.concatenate([x, u])
+            gz = grad_z(z)
+            Hz = hess_z(z)
+            return gz[:n], gz[n:], Hz[:n, :n], Hz[n:, :n], Hz[n:, n:]
 
     quad_b = jax.vmap(quad_one, in_axes=(-1, -1), out_axes=-1)
     qx, ru, Qxx, Pux, Ruu = jax.vmap(quad_b)(xs[:-1], us)
 
-    fgrad = jax.grad(problem.final_cost)
-    fhess = jax.jacfwd(fgrad)
-    qxN = jax.vmap(fgrad, in_axes=-1, out_axes=-1)(xs[-1])
-    QN = jax.vmap(fhess, in_axes=-1, out_axes=-1)(xs[-1])
+    if problem.final_cost_quadratization is not None:
+        def final_one(x):
+            _q, qxN, QN = problem.final_cost_quadratization(x)
+            return qxN, QN
+
+        qxN, QN = jax.vmap(final_one, in_axes=-1, out_axes=-1)(xs[-1])
+    else:
+        fgrad = jax.grad(problem.final_cost)
+        fhess = jax.jacfwd(fgrad)
+        qxN = jax.vmap(fgrad, in_axes=-1, out_axes=-1)(xs[-1])
+        QN = jax.vmap(fhess, in_axes=-1, out_axes=-1)(xs[-1])
     return As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN
 
 

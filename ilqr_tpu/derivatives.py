@@ -80,3 +80,32 @@ def quadratize_final_cost(final_cost: Callable, x_final: jax.Array):
     qx = jax.grad(final_cost)(x_final)
     Qxx = jax.jacfwd(jax.grad(final_cost))(x_final)
     return q, qx, Qxx
+
+
+# ---------------------------------------------------------------------------
+# Problem-aware sweeps: use analytic overrides when the Problem carries them.
+# ---------------------------------------------------------------------------
+
+def problem_linearize(problem, xs, us):
+    """Whole-horizon ``(As, Bs)`` for a Problem — the user's analytic
+    ``dynamics_jacobians`` when provided, autodiff otherwise."""
+
+    if problem.dynamics_jacobians is not None:
+        return jax.vmap(problem.dynamics_jacobians)(xs, us)
+    return linearize_dynamics(problem.dynamics, xs, us)
+
+
+def problem_quadratize_running(problem, xs, us):
+    """Whole-horizon running-cost quadratization for a Problem."""
+
+    if problem.cost_quadratization is not None:
+        return jax.vmap(problem.cost_quadratization)(xs, us)
+    return quadratize_running_cost(problem.cost, xs, us)
+
+
+def problem_quadratize_final(problem, x_final):
+    """Terminal quadratization for a Problem."""
+
+    if problem.final_cost_quadratization is not None:
+        return problem.final_cost_quadratization(x_final)
+    return quadratize_final_cost(problem.final_cost, x_final)

@@ -38,9 +38,23 @@ class Problem:
     state_dim: Optional[int] = None
     control_dim: Optional[int] = None
     name: str = "problem"
+    # Optional analytic derivative overrides (framework extension — the
+    # reference always differentiates on the fly).  When provided, the
+    # solver uses these instead of autodiff; they must return exactly what
+    # the corresponding ilqr_tpu.derivatives function would:
+    #   dynamics_jacobians(x, u) -> (A [n,n], B [n,m])
+    #   cost_quadratization(x, u) -> (q, qx [n], ru [m], Qxx [n,n],
+    #                                 Pux [m,n], Ruu [m,m])
+    #   final_cost_quadratization(x) -> (q, qx [n], Qxx [n,n])
+    dynamics_jacobians: Optional[Callable] = None
+    cost_quadratization: Optional[Callable] = None
+    final_cost_quadratization: Optional[Callable] = None
 
     def __hash__(self):
-        return hash((id(self.dynamics), id(self.cost), id(self.final_cost), self.name))
+        return hash((id(self.dynamics), id(self.cost), id(self.final_cost),
+                     id(self.dynamics_jacobians),
+                     id(self.cost_quadratization),
+                     id(self.final_cost_quadratization), self.name))
 
 
 @highest_precision
