@@ -97,6 +97,62 @@ def solve_psd_small(A, b):
     return solve_tri_upper(LT, y)
 
 
+def solve_general_small(A, b):
+    """Solve ``A x = b`` for a general (non-symmetric) ``A [..., m, m]``,
+    unrolled Gaussian elimination with partial pivoting.
+
+    Like :func:`solve_psd_small`, the m-loop is unrolled at trace time so
+    every scalar recurrence step is one batched VPU op over the leading
+    dims; the pivot choice is data-dependent per batch element and realized
+    with ``where``-selects instead of row gathers (no dynamic indexing, so
+    the whole solve stays fusable).  ``b`` may be ``[..., m]`` or
+    ``[..., m, k]``.
+
+    This is the TPU replacement for ``jnp.linalg.solve`` (batched LAPACK
+    LU) on the tiny matrices of the parallel-in-time Riccati combine
+    (ilqr_tpu/pit.py), where the library path lowers to serial loops.
+    """
+
+    m = A.shape[-1]
+    vector_rhs = b.ndim == A.ndim - 1
+    if vector_rhs:
+        b = b[..., None]
+    # Augmented rows [..., m + k] held as a Python list so all indexing is
+    # static; pivoting permutes list entries per batch lane via selects.
+    rows = [jnp.concatenate([A[..., i, :], b[..., i, :]], axis=-1)
+            for i in range(m)]
+
+    for kcol in range(m):
+        # Partial pivot: among rows kcol..m-1 pick the largest |A[:, kcol]|.
+        if kcol < m - 1:
+            mags = jnp.stack([jnp.abs(rows[i][..., kcol])
+                              for i in range(kcol, m)], axis=-1)
+            p_rel = jnp.argmax(mags, axis=-1)  # [...], 0 => no swap
+            pivot_row = rows[kcol]
+            for off in range(1, m - kcol):
+                sel = (p_rel == off)[..., None]
+                pivot_row = jnp.where(sel, rows[kcol + off], pivot_row)
+            for off in range(1, m - kcol):
+                sel = (p_rel == off)[..., None]
+                rows[kcol + off] = jnp.where(sel, rows[kcol],
+                                             rows[kcol + off])
+            rows[kcol] = pivot_row
+        inv_piv = 1.0 / rows[kcol][..., kcol]
+        for i in range(kcol + 1, m):
+            factor = rows[i][..., kcol] * inv_piv
+            rows[i] = rows[i] - factor[..., None] * rows[kcol]
+
+    # Back substitution on the augmented tail.
+    xs = [None] * m
+    for i in reversed(range(m)):
+        s = rows[i][..., m:]
+        for j in range(i + 1, m):
+            s = s - rows[i][..., j, None] * xs[j]
+        xs[i] = s / rows[i][..., i, None]
+    x = jnp.stack(xs, axis=-2)
+    return x[..., 0] if vector_rhs else x
+
+
 def regularized_pinv(A, reg: float = 1e-5):
     """SVD pseudo-inverse with Tikhonov-regularized singular values.
 

@@ -47,7 +47,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.ops.linalg import solve_psd_small
+from ilqr_tpu.ops.linalg import solve_general_small, solve_psd_small
 from ilqr_tpu.precision import highest_precision
 
 
@@ -62,17 +62,25 @@ def _combine(ei, ej):
     def mv(M, v):  # batched matrix-vector
         return jnp.einsum("...ij,...j->...i", M, v)
 
-    # (I + C_i J_j)^{-1} applied from the left; batched general solve.
+    # (I + C_i J_j)^{-1} applied from the left.  One unrolled pivoted
+    # elimination per combine with the right-hand sides fused into a single
+    # augmented block (ilqr_tpu.ops.linalg.solve_general_small) — the
+    # library LU (`jnp.linalg.solve`) lowers to serial loops on TPU and
+    # would run 5 factorizations where 2 suffice.
     ICJ = I + Ci @ Jj
-    # Solve ICJ X = Y for the three right-hand sides we need.
-    Ai_s = jnp.linalg.solve(ICJ, Ai)
-    Ci_s = jnp.linalg.solve(ICJ, Ci)
-    bCe_s = jnp.linalg.solve(ICJ, (bi + mv(Ci, etaj))[..., None])[..., 0]
+    rhs1 = jnp.concatenate(
+        [Ai, Ci, (bi + mv(Ci, etaj))[..., None]], axis=-1)
+    sol1 = solve_general_small(ICJ, rhs1)
+    Ai_s = sol1[..., :n]
+    Ci_s = sol1[..., n:2 * n]
+    bCe_s = sol1[..., 2 * n]
 
     # Push-through identity: (I + J_j C_i)^{-1} J_j = J_j (I + C_i J_j)^{-1}.
     IJC = I + Jj @ Ci
-    Jj_s = jnp.linalg.solve(IJC, Jj)
-    eJb_s = jnp.linalg.solve(IJC, (etaj - mv(Jj, bi))[..., None])[..., 0]
+    rhs2 = jnp.concatenate([Jj, (etaj - mv(Jj, bi))[..., None]], axis=-1)
+    sol2 = solve_general_small(IJC, rhs2)
+    Jj_s = sol2[..., :n]
+    eJb_s = sol2[..., n]
 
     AiT = jnp.swapaxes(Ai, -1, -2)
     A = Aj @ Ai_s
