@@ -26,7 +26,6 @@ from __future__ import annotations
 import dataclasses
 import math
 
-import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.ops.linalg import solve_psd_small
@@ -111,17 +110,40 @@ def inertia_matrix(params: TwoLinkParams, theta):
     ])
 
 
+def inertia_matrix_grad(params: TwoLinkParams, theta):
+    """Closed-form ``dM[a, b, c] = dM[a,b]/dtheta[c]`` [2, 2, 2].
+
+    Only ``theta[1]`` enters M (through ``cos``), so the gradient has one
+    nonzero slice.  Using the closed form instead of
+    ``jacfwd(inertia_matrix)`` matters for performance: the Coriolis matrix
+    sits inside the dynamics, so ``linearize_dynamics`` would otherwise
+    push second-order forward duals through the nested jacobian — with the
+    closed form the dynamics is plain first-order trig under AD.  Verified
+    against ``jacfwd`` in tests/test_derivatives.py.
+    """
+
+    b = params.beta
+    s2 = jnp.sin(theta[1])
+    zero = jnp.zeros_like(s2)
+    # [a, b] entries of dM/dtheta2.
+    d2 = jnp.stack([
+        jnp.stack([-2.0 * b * s2, -b * s2]),
+        jnp.stack([-b * s2, zero]),
+    ])
+    return jnp.stack([jnp.zeros_like(d2), d2], axis=-1)
+
+
 def coriolis_matrix(params: TwoLinkParams, theta, theta_dot):
     """C(theta, theta_dot) [2, 2].
 
-    ``dM[a, b, c] = dM[a,b]/dtheta[c]`` via ``jacfwd`` — the same layout the
+    ``dM[a, b, c] = dM[a,b]/dtheta[c]`` (closed form) — the same layout the
     reference gets from reshaping ForwardDiff's jacobian column-major
     (2_link_helper_functions.jl:37-38).  With ``faithful_coriolis`` only
     ``k = n-1`` contributes (see module docstring); otherwise the full
     Christoffel-style sum over k is used.
     """
 
-    dM = jax.jacfwd(lambda th: inertia_matrix(params, th))(theta)  # [2,2,2]
+    dM = inertia_matrix_grad(params, theta)  # [2,2,2]
     n = theta.shape[0]
     ks = [n - 1] if params.faithful_coriolis else list(range(n))
     rows = []
@@ -166,9 +188,17 @@ def make_dynamics(params: TwoLinkParams):
     return dynamics
 
 
-def make_two_link_problem(params: TwoLinkParams = TwoLinkParams()) -> Problem:
+def make_two_link_problem(params: TwoLinkParams = TwoLinkParams(),
+                          analytic_cost_derivatives: bool = True) -> Problem:
     """The reference's swing-up problem: drive joints to the IK of the tool
-    target, penalizing torque (2_link_helper_functions.jl:82-108)."""
+    target, penalizing torque (2_link_helper_functions.jl:82-108).
+
+    The costs are exact quadratics, so by default the Problem carries
+    analytic (constant-Hessian) quadratization hooks — the solver then
+    skips the per-step cost AD entirely.  ``analytic_cost_derivatives=
+    False`` falls back to autodiff quadratization (identical results,
+    tested in tests/test_derivatives.py).
+    """
 
     target = jnp.array([params.target_x, params.target_y])
     target_joints = inverse_kinematics(params, target)
@@ -184,6 +214,34 @@ def make_two_link_problem(params: TwoLinkParams = TwoLinkParams()) -> Problem:
         joint_err = target_joints - x[:n]
         return jnp.sum(joint_err ** 2)
 
+    kw = {}
+    if analytic_cost_derivatives:
+        def cost_quadratization(x, u):
+            n = x.shape[0] // 2
+            dtype = x.dtype
+            joint_err = target_joints.astype(dtype) - x[:n]
+            q = jnp.sum(joint_err ** 2) + jnp.sum(u ** 2)
+            qx = jnp.concatenate([-2.0 * joint_err, jnp.zeros_like(x[n:])])
+            ru = 2.0 * u
+            Qxx = jnp.diag(jnp.concatenate([
+                jnp.full((n,), 2.0, dtype), jnp.zeros((n,), dtype)]))
+            Pux = jnp.zeros((u.shape[0], x.shape[0]), dtype)
+            Ruu = 2.0 * jnp.eye(u.shape[0], dtype=dtype)
+            return q, qx, ru, Qxx, Pux, Ruu
+
+        def final_cost_quadratization(x):
+            n = x.shape[0] // 2
+            dtype = x.dtype
+            joint_err = target_joints.astype(dtype) - x[:n]
+            q = jnp.sum(joint_err ** 2)
+            qx = jnp.concatenate([-2.0 * joint_err, jnp.zeros_like(x[n:])])
+            Qxx = jnp.diag(jnp.concatenate([
+                jnp.full((n,), 2.0, dtype), jnp.zeros((n,), dtype)]))
+            return q, qx, Qxx
+
+        kw = dict(cost_quadratization=cost_quadratization,
+                  final_cost_quadratization=final_cost_quadratization)
+
     return Problem(
         dynamics=make_dynamics(params),
         cost=immediate_cost,
@@ -191,4 +249,5 @@ def make_two_link_problem(params: TwoLinkParams = TwoLinkParams()) -> Problem:
         state_dim=4,
         control_dim=2,
         name="two_link",
+        **kw,
     )

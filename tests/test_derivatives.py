@@ -14,7 +14,12 @@ from ilqr_tpu.derivatives import (
     quadratize_final_cost,
     quadratize_running_cost,
 )
-from ilqr_tpu.models.two_link import TwoLinkParams, make_two_link_problem
+from ilqr_tpu.models.two_link import (
+    TwoLinkParams,
+    inertia_matrix,
+    inertia_matrix_grad,
+    make_two_link_problem,
+)
 from ilqr_tpu.problem import rollout
 
 
@@ -76,6 +81,46 @@ def test_final_quadratization():
     np.testing.assert_allclose(q, float(np.sum((np.asarray(x) - 1) ** 2)))
     np.testing.assert_allclose(qx, 2 * (np.asarray(x) - 1), atol=1e-12)
     np.testing.assert_allclose(Qxx, 2 * np.eye(3), atol=1e-12)
+
+
+def test_inertia_matrix_grad_matches_jacfwd():
+    """Closed-form dM/dtheta (used to keep the dynamics first-order under
+    AD) against autodiff of the inertia matrix."""
+
+    params = TwoLinkParams()
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        theta = jnp.asarray(rng.standard_normal(2))
+        dM_ad = jax.jacfwd(lambda th: inertia_matrix(params, th))(theta)
+        dM_cf = inertia_matrix_grad(params, theta)
+        np.testing.assert_allclose(np.asarray(dM_cf), np.asarray(dM_ad),
+                                   atol=1e-12)
+
+
+def test_two_link_analytic_quadratization_matches_autodiff():
+    """The constant-Hessian hooks on the two-link Problem against the
+    autodiff quadratization of the same cost callables."""
+
+    p_a = make_two_link_problem()  # analytic hooks (default)
+    p_d = make_two_link_problem(analytic_cost_derivatives=False)
+    assert p_a.cost_quadratization is not None
+    assert p_d.cost_quadratization is None
+
+    rng = np.random.default_rng(6)
+    xs = jnp.asarray(rng.standard_normal((5, 4)))
+    us = jnp.asarray(rng.standard_normal((5, 2)))
+    ad = quadratize_running_cost(p_d.cost, xs, us)
+    an = jax.vmap(p_a.cost_quadratization)(xs, us)
+    for got, want in zip(an, ad):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12)
+
+    x = jnp.asarray(rng.standard_normal(4))
+    ad_f = quadratize_final_cost(p_d.final_cost, x)
+    an_f = p_a.final_cost_quadratization(x)
+    for got, want in zip(an_f, ad_f):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12)
 
 
 def test_cost_only_depending_on_u_is_fine():
