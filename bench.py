@@ -8,8 +8,15 @@ measured / 625).
 Extra configs (BASELINE.json) via ``--config``:
 
   batched       4096 scenarios, T=100, solve to convergence   [default]
-  long_horizon  T=1000 single+batched solve (scan vs associative backend)
+  strict        same, at the reference's own criterion (tol=1e-6 on
+                sum((du)^2), src/forward_pass.jl:152,171; no gradient
+                tolerances)
+  rbd           floating-base RBD arm (n=16, m=8) batched solves —
+                the reference's second benchmark problem
+                (animate_RBD_2_link.jl:8-20)
+  long_horizon  T=1000 batched solve (scan vs associative backend)
   mpc           single-scenario receding-horizon p50 latency (50 replans)
+  mpc_batch     scenario-batched MPC replan latency (config 5 slice)
   single        one solve latency, T=100
 
 Diagnostics go to stderr; the JSON line is the last stdout line.
@@ -34,38 +41,53 @@ def _time(f, *args, repeats=3):
     return min(ts), r
 
 
-def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
-                  backend="pallas", engine="fused", dtype=jnp.float32,
-                  tol_grad=1e-10, tol_grad_rel=1e-6, adaptive_reg=False):
-    from ilqr_tpu.config import ILQRConfig, Status
+def _make_problem(name):
+    if name == "rbd":
+        from ilqr_tpu.models.rbd.model import make_rbd_arm_problem
+
+        problem = make_rbd_arm_problem()
+        nominal = jnp.zeros(16, jnp.float32)
+        return problem, nominal, 16, 8
     from ilqr_tpu.models.two_link import make_two_link_problem
-    from ilqr_tpu.parallel.batching import make_batch_solver
 
     problem = make_two_link_problem()
+    nominal = jnp.asarray([0.3, 0.7, 0.2, 0.5], jnp.float32)
+    return problem, nominal, 4, 2
+
+
+def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
+                  backend="pallas", engine="fused", dtype=jnp.float32,
+                  tol_grad=1e-10, tol_grad_rel=1e-6, adaptive_reg=False,
+                  problem_name="two_link", noise=0.1, repeats=3, label="",
+                  scan_unroll=8):
+    from ilqr_tpu.config import ILQRConfig, Status
+    from ilqr_tpu.parallel.batching import make_batch_solver
+
+    problem, nominal, n, m = _make_problem(problem_name)
     config = ILQRConfig(max_iter=max_iter, tol=tol, tol_grad=tol_grad,
                         tol_grad_rel=tol_grad_rel, adaptive_reg=adaptive_reg,
-                        backward_backend=backend)
+                        backward_backend=backend, scan_unroll=scan_unroll)
     solve_fn = make_batch_solver(problem, config, engine=engine)
 
     key = jax.random.PRNGKey(0)
-    nominal = jnp.asarray([0.3, 0.7, 0.2, 0.5], dtype)
-    x0s = nominal + 0.1 * jax.random.normal(key, (batch, 4), dtype)
-    us0 = jnp.zeros((batch, T, 2), dtype)
+    x0s = nominal + noise * jax.random.normal(key, (batch, n), dtype)
+    us0 = jnp.zeros((batch, T, m), dtype)
 
     t0 = time.perf_counter()
     result = jax.block_until_ready(solve_fn(x0s, us0))
     compile_s = time.perf_counter() - t0
-    best, result = _time(solve_fn, x0s, us0)
+    best, result = _time(solve_fn, x0s, us0, repeats=repeats)
 
     n_conv = int(jnp.sum(result.status == int(Status.CONVERGED)))
     mean_iters = float(jnp.mean(result.iterations.astype(jnp.float32)))
     print(
-        f"[bench:batched backend={backend} engine={engine}] device={jax.devices()[0]} "
+        f"[bench:batched{label} problem={problem_name} backend={backend} "
+        f"engine={engine}] device={jax.devices()[0]} "
         f"batch={batch} T={T} compile={compile_s:.1f}s best={best*1e3:.1f}ms "
         f"converged={n_conv}/{batch} mean_iters={mean_iters:.1f}",
         file=sys.stderr,
     )
-    return batch / best
+    return batch / best, n_conv
 
 
 def bench_single(T=100, max_iter=30, backend="scan", dtype=jnp.float32):
@@ -87,12 +109,16 @@ def bench_single(T=100, max_iter=30, backend="scan", dtype=jnp.float32):
     return best
 
 
-def bench_long_horizon(T=1000, batch=256, dtype=jnp.float32):
+def bench_long_horizon(T=1000, batch=256, backends=("scan", "pallas"),
+                       engine="fused", scan_unroll=2):
     vals = {}
-    for backend in ("scan", "associative"):
+    for backend in backends:
         try:
-            vals[backend] = bench_batched(batch=batch, T=T, max_iter=15,
-                                          backend=backend)
+            v, _ = bench_batched(batch=batch, T=T, max_iter=15,
+                                 backend=backend, engine=engine,
+                                 repeats=2, label=f" T={T}",
+                                 scan_unroll=scan_unroll)
+            vals[backend] = v
         except Exception as e:  # pragma: no cover
             print(f"[bench:long_horizon] {backend} failed: {e}",
                   file=sys.stderr)
@@ -120,31 +146,100 @@ def bench_mpc(horizon=50, n_steps=50, dtype=jnp.float32):
     return per_replan
 
 
+def bench_mpc_batch(batch=1024, horizon=50, n_steps=50, dtype=jnp.float32):
+    """Config 5 single-chip slice: a fleet of MPC scenarios replanning in
+    lock-step; reports wall-clock per replan step for the whole batch."""
+
+    from ilqr_tpu.config import ILQRConfig
+    from ilqr_tpu.parallel.mpc import batch_mpc_run
+    from ilqr_tpu.models.two_link import make_two_link_problem
+
+    problem = make_two_link_problem()
+    config = ILQRConfig(max_iter=10, tol=1e-5, tol_grad=1e-10,
+                        tol_grad_rel=1e-6)
+    key = jax.random.PRNGKey(0)
+    nominal = jnp.asarray([0.1, -0.1, 0.0, 0.0], dtype)
+    x0s = nominal + 0.1 * jax.random.normal(key, (batch, 4), dtype)
+    f = jax.jit(lambda x: batch_mpc_run(problem, x, horizon, n_steps, config))
+    t0 = time.perf_counter()
+    r = jax.block_until_ready(f(x0s))
+    compile_s = time.perf_counter() - t0
+    best, r = _time(f, x0s, repeats=2)
+    per_replan = best / n_steps
+    mean_iters = float(jnp.mean(r.iterations.astype(jnp.float32)))
+    print(f"[bench:mpc_batch] batch={batch} horizon={horizon} "
+          f"n_steps={n_steps} compile={compile_s:.1f}s "
+          f"total={best*1e3:.1f}ms per_replan={per_replan*1e3:.2f}ms "
+          f"scenario_replans_per_s={batch*n_steps/best:.0f} "
+          f"mean_iters={mean_iters:.1f}", file=sys.stderr)
+    return per_replan
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="batched",
-                    choices=["batched", "long_horizon", "mpc", "single"])
+                    choices=["batched", "strict", "rbd", "long_horizon",
+                             "mpc", "mpc_batch", "single"])
     ap.add_argument("--backend", default="pallas",
                     choices=["scan", "associative", "pallas"])
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--T", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--engine", default="fused", choices=["vmap", "fused"])
     ap.add_argument("--tol-grad", type=float, default=1e-10)
     ap.add_argument("--tol-grad-rel", type=float, default=1e-6)
     ap.add_argument("--adaptive-reg", action="store_true")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="rollout scan unroll (default 8; use 1-2 for "
+                         "long-horizon/RBD to keep compiles tractable)")
     args = ap.parse_args()
 
     baseline_per_chip = 10000.0 / 16.0  # BASELINE.md: 10k solves/s on v5e-16
 
     if args.config == "batched":
-        value = bench_batched(batch=args.batch, backend=args.backend,
-                              engine=args.engine, tol_grad=args.tol_grad,
-                              tol_grad_rel=args.tol_grad_rel,
-                              adaptive_reg=args.adaptive_reg)
+        value, _ = bench_batched(batch=args.batch or 4096, T=args.T or 100,
+                                 max_iter=args.max_iter or 30,
+                                 backend=args.backend,
+                                 engine=args.engine, tol_grad=args.tol_grad,
+                                 tol_grad_rel=args.tol_grad_rel,
+                                 adaptive_reg=args.adaptive_reg,
+                                 scan_unroll=args.unroll or 8)
         print(json.dumps({
             "metric": "ilqr_solves_per_s_per_chip_2link_N100",
             "value": round(value, 2),
             "unit": "solves/s",
             "vs_baseline": round(value / baseline_per_chip, 3),
+        }))
+    elif args.config == "strict":
+        # The reference's own convergence rule: sum((du)^2) <= 1e-6
+        # (src/forward_pass.jl:152,171), no gradient-based tests.
+        value, n_conv = bench_batched(
+            batch=args.batch or 4096, T=args.T or 100,
+            max_iter=args.max_iter or 100, tol=1e-6,
+            backend=args.backend, engine=args.engine,
+            tol_grad=0.0, tol_grad_rel=0.0, label=" STRICT",
+            scan_unroll=args.unroll or 8)
+        print(json.dumps({
+            "metric": "ilqr_solves_per_s_per_chip_2link_N100_strict_tol1e-6",
+            "value": round(value, 2),
+            "unit": "solves/s",
+            "vs_baseline": round(value / baseline_per_chip, 3),
+            "converged": n_conv,
+        }))
+    elif args.config == "rbd":
+        value, n_conv = bench_batched(
+            batch=args.batch or 256, T=args.T or 1000,
+            max_iter=args.max_iter or 20,
+            backend=args.backend, engine=args.engine,
+            tol_grad=args.tol_grad, tol_grad_rel=args.tol_grad_rel,
+            problem_name="rbd", noise=0.05,
+            scan_unroll=args.unroll or 2)
+        print(json.dumps({
+            "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{args.T or 1000}",
+            "value": round(value, 2),
+            "unit": "solves/s",
+            "vs_baseline": None,
+            "converged": n_conv,
         }))
     elif args.config == "single":
         value = bench_single(backend=args.backend)
@@ -155,7 +250,12 @@ def main():
             "vs_baseline": None,
         }))
     elif args.config == "long_horizon":
-        value = bench_long_horizon()
+        value = bench_long_horizon(T=args.T or 1000, batch=args.batch or 256,
+                                   backends=(args.backend,)
+                                   if args.backend != "pallas"
+                                   else ("scan", "pallas", "associative"),
+                                   engine=args.engine,
+                                   scan_unroll=args.unroll or 2)
         print(json.dumps({
             "metric": "ilqr_solves_per_s_2link_N1000",
             "value": round(value, 2),
@@ -166,6 +266,14 @@ def main():
         value = bench_mpc()
         print(json.dumps({
             "metric": "mpc_replan_latency_p50_2link_H50",
+            "value": round(value * 1e3, 3),
+            "unit": "ms",
+            "vs_baseline": None,
+        }))
+    elif args.config == "mpc_batch":
+        value = bench_mpc_batch(batch=args.batch or 1024)
+        print(json.dumps({
+            "metric": "mpc_batch1024_replan_latency_2link_H50",
             "value": round(value * 1e3, 3),
             "unit": "ms",
             "vs_baseline": None,

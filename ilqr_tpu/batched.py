@@ -34,6 +34,7 @@ from ilqr_tpu.ops import smallmat as sm
 from ilqr_tpu.precision import highest_precision
 from ilqr_tpu.problem import Problem
 from ilqr_tpu.solver import SolverResult
+from ilqr_tpu.step import StepEngine, finalize_status, ilqr_step, initial_state
 
 
 def _batched_callables(problem: Problem):
@@ -230,7 +231,9 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
         jnp.int32(0),
         jnp.full((B,), config.alpha0, dtype),
         # Inactive lanes start "accepted" so they neither roll out usefully
-        # nor keep the ladder spinning; their outputs are masked upstream.
+        # nor keep the ladder spinning; the placeholder is masked off the
+        # returned flag so callers see accepted=False for skipped lanes
+        # (matching the per-scenario forward_pass).
         ~active,
         jnp.zeros((B,), jnp.int32),
         xs,
@@ -239,7 +242,31 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
     )
     k, alpha, accepted, bts, xs_b, us_b, cost_b = jax.lax.while_loop(
         cond, body, init)
-    return xs_b, us_b, cost_b, accepted, alpha, bts
+    return xs_b, us_b, cost_b, jnp.logical_and(accepted, active), alpha, bts
+
+
+def make_batch_last_engine(problem: Problem, x_ref_bl,
+                           config: ILQRConfig) -> StepEngine:
+    """The batch-last StepEngine: same algorithm as the per-scenario engine,
+    every lane-shaped value is ``[B]`` and trajectories carry a trailing
+    lane axis."""
+
+    def backward(xs, us, reg):
+        models = derivatives_bl(problem, xs, us)
+        duffs, Ks, dv1, _dv2 = riccati_bl(*models, reg=reg, config=config)
+        return duffs, Ks, dv1
+
+    def forward(xs, us, duffs, Ks, prev_cost, active):
+        return forward_pass_bl(problem, xs, us, duffs, Ks, prev_cost,
+                               x_ref_bl, config, active=active)
+
+    return StepEngine(
+        backward=backward,
+        forward=forward,
+        du_sq=lambda a, b: jnp.sum((a - b) ** 2, axis=(0, 1)),
+        select=jnp.where,
+        select_traj=lambda m, new, old: jnp.where(m[None, None, :], new, old),
+    )
 
 
 @highest_precision
@@ -251,7 +278,9 @@ def batched_solve_fused(problem: Problem, xs0, us0,
     Batch-FIRST interface (matching ``parallel.batch_solve``):
     ``xs0 [B, T+1, n]``, ``us0 [B, T, m]`` → SolverResult with batch axis
     first on every field.  Internally everything runs batch-last; the two
-    transposes at entry/exit are the only layout moves.
+    transposes at entry/exit are the only layout moves.  The iteration body
+    is the shared :func:`ilqr_tpu.step.ilqr_step` — only the engine
+    (layout) differs from ``solver.solve``.
     """
 
     # To batch-last.
@@ -261,110 +290,38 @@ def batched_solve_fused(problem: Problem, xs0, us0,
     B = xs_bl.shape[-1]
     dtype = xs_bl.dtype
 
-    def cond(state):
-        xs, us, prev_cost, iteration, status, reg, alpha, du_sq = state
-        return jnp.logical_and(jnp.any(status == int(Status.RUNNING)),
-                               iteration < config.max_iter)
+    engine = make_batch_last_engine(problem, x_ref_bl, config)
 
-    def body(state):
-        xs, us, prev_cost, iteration, status, reg, alpha, du_sq = state
-        running = status == int(Status.RUNNING)
+    # The while_loop needs a global pass counter alongside the per-lane
+    # iteration counts (a finished lane stops counting but the loop keeps
+    # going for the stragglers).
+    def cond(carry):
+        state, n_passes = carry
+        return jnp.logical_and(
+            jnp.any(state.status == int(Status.RUNNING)),
+            n_passes < config.max_iter,
+        )
 
-        models = derivatives_bl(problem, xs, us)
-        duffs, Ks, dv1, dv2 = riccati_bl(*models, reg=reg, config=config)
-        # First-order-stationary lanes (predicted linear decrease ~ 0) have
-        # no improving alpha; excluding them from the ladder keeps one
-        # optimal lane from dragging the whole batch through
-        # max_backtracks full rollouts.
-        if config.tol_grad > 0.0 or config.tol_grad_rel > 0.0:
-            thresh = config.tol_grad + config.tol_grad_rel * jnp.where(
-                jnp.isfinite(prev_cost), jnp.abs(prev_cost), 0.0)
-            stationary = jnp.abs(dv1) <= thresh
-        else:
-            stationary = jnp.zeros((B,), bool)
-        xs_n, us_n, cost_n, accepted, alpha_n, _bts = forward_pass_bl(
-            problem, xs, us, duffs, Ks, prev_cost, x_ref_bl, config,
-            active=jnp.logical_and(running, ~stationary))
+    def body(carry):
+        state, n_passes = carry
+        return ilqr_step(engine, config, state)[0], n_passes + 1
 
-        du_sq_n = jnp.sum((us_n - us) ** 2, axis=(0, 1))
-        converged = jnp.logical_and(accepted, du_sq_n <= config.tol)
-        converged = jnp.logical_or(converged, stationary)
-        ls_failed = jnp.logical_and(~accepted, ~converged)
+    init = initial_state(xs_bl, us_bl, config, lane_shape=(B,))
+    final, _ = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
 
-        if config.adaptive_reg:
-            reg_n = jnp.where(
-                ls_failed,
-                jnp.minimum(reg * config.reg_scale, config.reg_max),
-                jnp.maximum(reg / config.reg_scale, config.reg_min))
-            fatal_ls = jnp.logical_and(ls_failed, reg >= config.reg_max)
-        else:
-            reg_n = reg
-            fatal_ls = ls_failed
-
-        status_n = jnp.where(
-            converged, jnp.int32(int(Status.CONVERGED)),
-            jnp.where(fatal_ls, jnp.int32(int(Status.LINESEARCH_FAILED)),
-                      jnp.int32(int(Status.RUNNING))))
-
-        keep_old = (~accepted) | (converged if config.reference_return_semantics
-                                  else jnp.zeros_like(converged))
-        adopt = jnp.logical_and(running, ~keep_old)
-        take = adopt[None, None, :]
-        xs = jnp.where(take, xs_n, xs)
-        us = jnp.where(take, us_n, us)
-        # Stationary lanes skipped the ladder: their "accepted" flag is the
-        # inactive-lane placeholder and cost_n is inf — never adopt it.
-        upd_cost = jnp.logical_and(running,
-                                   jnp.logical_and(accepted, ~stationary))
-        prev_cost = jnp.where(upd_cost, cost_n, prev_cost)
-        status = jnp.where(running, status_n, status)
-        reg = jnp.where(running, reg_n, reg)
-        alpha = jnp.where(running, alpha_n, alpha)
-        du_sq = jnp.where(running, du_sq_n, du_sq)
-        # Track per-lane iteration counts (lanes stop counting once done).
-        iteration = iteration + 1
-        return (xs, us, prev_cost, iteration, status, reg, alpha, du_sq)
-
-    init = (
-        xs_bl, us_bl,
-        jnp.full((B,), jnp.inf, dtype),
-        jnp.int32(0),
-        jnp.full((B,), int(Status.RUNNING), jnp.int32),
-        jnp.full((B,), config.reg, dtype),
-        jnp.full((B,), config.alpha0, dtype),
-        jnp.full((B,), jnp.inf, dtype),
-    )
-    # Per-lane iteration counts need a separate accumulator.
-    iters = jnp.zeros((B,), jnp.int32)
-
-    def body_with_iters(carry):
-        state, iters = carry
-        running = state[4] == int(Status.RUNNING)
-        new_state = body(state)
-        iters = iters + running.astype(jnp.int32)
-        return (new_state, iters)
-
-    def cond_with_iters(carry):
-        state, _ = carry
-        return cond(state)
-
-    (final, iters) = jax.lax.while_loop(cond_with_iters, body_with_iters,
-                                        (init, iters))
-    xs, us, prev_cost, _iteration, status, reg, alpha, du_sq = final
-
-    status = jnp.where(status == int(Status.RUNNING),
-                       jnp.int32(int(Status.MAX_ITER)), status)
-    cost = jnp.where(jnp.isinf(prev_cost),
-                     total_cost_bl(problem, xs, us, x_ref_bl).astype(dtype),
-                     prev_cost)
+    status = finalize_status(final.status)
+    cost = jnp.where(jnp.isinf(final.prev_cost),
+                     total_cost_bl(problem, final.xs, final.us,
+                                   x_ref_bl).astype(dtype),
+                     final.prev_cost)
 
     return SolverResult(
-        xs=jnp.moveaxis(xs, -1, 0),
-        us=jnp.moveaxis(us, -1, 0),
+        xs=jnp.moveaxis(final.xs, -1, 0),
+        us=jnp.moveaxis(final.us, -1, 0),
         cost=cost,
-        iterations=iters,
+        iterations=final.iteration,
         status=status,
-        reg=reg,
-        alpha=alpha,
-        du_sq=du_sq,
+        reg=final.reg,
+        alpha=final.alpha,
+        du_sq=final.du_sq,
     )

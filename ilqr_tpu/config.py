@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import warnings
 
 
 class Status(enum.IntEnum):
@@ -89,6 +90,21 @@ class ILQRConfig:
     # before the trajectory update at :174-175).  Set False to return the
     # newer (strictly better) iterate.
     reference_return_semantics: bool = True
+
+    def __post_init__(self):
+        if self.backward_backend == "associative" and self.reg > 0.0:
+            # The parallel-in-time backend applies the Tikhonov term inside
+            # the associative combine, which is not algebraically identical
+            # to regularizing each sequential step: results differ from the
+            # scan backend by O(reg) (exact agreement at reg=0).  See
+            # ilqr_tpu/pit.py for the derivation.
+            warnings.warn(
+                "backward_backend='associative' with reg="
+                f"{self.reg} > 0: the parallel-in-time Riccati recursion "
+                "differs from the sequential backend by O(reg); do not "
+                "expect reference-exact trajectories.  Use reg=0 (with "
+                "adaptive_reg or a PD cost) for exact agreement.",
+                stacklevel=2)
 
     def replace(self, **kw) -> "ILQRConfig":
         return dataclasses.replace(self, **kw)

@@ -112,11 +112,15 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
         jnp.asarray(jnp.inf, dtype),
     )
     k, alpha, accepted, xs_out, us_out, cost = jax.lax.while_loop(cond, body, init)
+    # backtracks = number of *rejected* alphas: k-1 on acceptance (the k-th
+    # try succeeded), k on exhaustion (every try failed), and 0 — not -1 —
+    # when the ladder was skipped entirely (active=False, k=0).
+    backtracks = jnp.where(accepted, jnp.maximum(k - 1, 0), k)
     return ForwardResult(
         xs=xs_out,
         us=us_out,
         cost=cost,
         accepted=accepted,
         alpha=alpha,
-        backtracks=k - 1,
+        backtracks=backtracks,
     )

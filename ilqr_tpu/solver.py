@@ -28,11 +28,16 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.backward import backward_pass
 from ilqr_tpu.config import DEFAULT_CONFIG, ILQRConfig, Status
-from ilqr_tpu.forward import forward_pass
 from ilqr_tpu.precision import highest_precision
 from ilqr_tpu.problem import Problem, total_cost
+from ilqr_tpu.step import (
+    StepState,
+    finalize_status,
+    ilqr_step,
+    initial_state,
+    make_scalar_engine,
+)
 
 
 class SolverResult(NamedTuple):
@@ -50,17 +55,6 @@ class SolverResult(NamedTuple):
         return self.status == int(Status.CONVERGED)
 
 
-class _LoopState(NamedTuple):
-    xs: jax.Array
-    us: jax.Array
-    prev_cost: jax.Array
-    iteration: jax.Array
-    status: jax.Array
-    reg: jax.Array
-    alpha: jax.Array
-    du_sq: jax.Array
-
-
 @highest_precision
 def solve(problem: Problem, x_init: jax.Array, u_init: jax.Array,
           x_ref: Optional[jax.Array] = None,
@@ -71,100 +65,27 @@ def solve(problem: Problem, x_init: jax.Array, u_init: jax.Array,
     linearization point for the first backward pass — the reference's API,
     src/forward_pass.jl:148; use :func:`ilqr_tpu.problem.rollout` to build
     one from an initial state).  ``u_init: [T, m]``.
+
+    The iteration body is the shared :func:`ilqr_tpu.step.ilqr_step`; this
+    driver only supplies the per-scenario engine and the early-exit
+    ``lax.while_loop``.
     """
 
     dtype = x_init.dtype
+    engine = make_scalar_engine(problem, x_ref, config)
 
-    def cond(state: _LoopState):
+    def cond(state: StepState):
         return jnp.logical_and(
             state.status == int(Status.RUNNING),
             state.iteration < config.max_iter,
         )
 
-    def body(state: _LoopState) -> _LoopState:
-        bwd = backward_pass(problem, state.xs, state.us, config, reg=state.reg)
-        # First-order stationarity: predicted linear decrease ~ 0.  A
-        # stationary iterate has no improving alpha, so skip the line-search
-        # ladder entirely rather than burning max_backtracks rollouts
-        # proving it.
-        if config.tol_grad > 0.0 or config.tol_grad_rel > 0.0:
-            thresh = config.tol_grad + config.tol_grad_rel * jnp.where(
-                jnp.isfinite(state.prev_cost), jnp.abs(state.prev_cost), 0.0)
-            stationary = jnp.abs(bwd.dV1) <= thresh
-        else:
-            stationary = jnp.bool_(False)
-        fwd = forward_pass(
-            problem, state.xs, state.us, bwd.duffs, bwd.Ks,
-            state.prev_cost, x_ref, config, active=~stationary,
-        )
+    def body(state: StepState) -> StepState:
+        return ilqr_step(engine, config, state)[0]
 
-        du_sq = jnp.sum((fwd.us - state.us) ** 2)
-        converged = jnp.logical_and(fwd.accepted, du_sq <= config.tol)
-        converged = jnp.logical_or(converged, stationary)
-        ls_failed = jnp.logical_and(~fwd.accepted, ~converged)
+    final = jax.lax.while_loop(cond, body, initial_state(x_init, u_init, config))
 
-        if config.adaptive_reg:
-            reg = jnp.where(
-                ls_failed,
-                jnp.minimum(state.reg * config.reg_scale, config.reg_max),
-                jnp.maximum(state.reg / config.reg_scale, config.reg_min),
-            )
-        else:
-            reg = state.reg
-
-        # With adaptive regularization a failed line search is retried at
-        # higher reg instead of terminating.
-        if config.adaptive_reg:
-            fatal_ls = jnp.logical_and(ls_failed, state.reg >= config.reg_max)
-        else:
-            fatal_ls = ls_failed
-        status = jnp.where(
-            converged,
-            jnp.int32(int(Status.CONVERGED)),
-            jnp.where(
-                fatal_ls,
-                jnp.int32(int(Status.LINESEARCH_FAILED)),
-                jnp.int32(int(Status.RUNNING)),
-            ),
-        )
-
-        # Adopt the new iterate unless the line search did not accept (the
-        # candidate is then a rejected rollout) or the reference's return
-        # semantics say to keep the pre-update iterate on convergence.
-        keep_old = (~fwd.accepted) | (converged if config.reference_return_semantics
-                                      else jnp.bool_(False))
-        xs_next = jnp.where(keep_old, state.xs, fwd.xs)
-        us_next = jnp.where(keep_old, state.us, fwd.us)
-        prev_cost = jnp.where(fwd.accepted, fwd.cost, state.prev_cost)
-
-        return _LoopState(
-            xs=xs_next,
-            us=us_next,
-            prev_cost=prev_cost,
-            iteration=state.iteration + 1,
-            status=status,
-            reg=reg,
-            alpha=fwd.alpha,
-            du_sq=du_sq,
-        )
-
-    init = _LoopState(
-        xs=x_init,
-        us=u_init,
-        prev_cost=jnp.asarray(jnp.inf, dtype),
-        iteration=jnp.int32(0),
-        status=jnp.int32(int(Status.RUNNING)),
-        reg=jnp.asarray(config.reg, dtype),
-        alpha=jnp.asarray(config.alpha0, dtype),
-        du_sq=jnp.asarray(jnp.inf, dtype),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-
-    status = jnp.where(
-        final.status == int(Status.RUNNING),
-        jnp.int32(int(Status.MAX_ITER)),
-        final.status,
-    )
+    status = finalize_status(final.status)
     cost = jnp.where(
         jnp.isinf(final.prev_cost),
         total_cost(problem, final.xs, final.us, x_ref).astype(dtype),

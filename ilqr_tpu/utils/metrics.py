@@ -6,6 +6,11 @@ search).  Here a fixed-shape ``lax.scan`` records a structured trace —
 cost, step size, backtracks, convergence quantity, regularization, status —
 for every iteration, device-side, with no host round-trips; it stays
 jit/vmap-compatible so a batch of solves yields a batch of traces.
+
+The iteration body is the shared :func:`ilqr_tpu.step.ilqr_step` — exactly
+the body ``solver.solve`` runs — so the traced solver can never drift from
+the plain one (it previously lost the ``tol_grad_rel`` test and the
+stationary-lane ladder skip by duplicating the loop).
 """
 
 from __future__ import annotations
@@ -15,12 +20,11 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.backward import backward_pass
-from ilqr_tpu.config import DEFAULT_CONFIG, ILQRConfig, Status
-from ilqr_tpu.forward import forward_pass
+from ilqr_tpu.config import DEFAULT_CONFIG, ILQRConfig
 from ilqr_tpu.precision import highest_precision
 from ilqr_tpu.problem import Problem, total_cost
 from ilqr_tpu.solver import SolverResult
+from ilqr_tpu.step import finalize_status, ilqr_step, initial_state, make_scalar_engine
 
 
 class IterationTrace(NamedTuple):
@@ -45,81 +49,40 @@ def solve_with_trace(problem: Problem, x_init: jax.Array, u_init: jax.Array,
                      config: ILQRConfig = DEFAULT_CONFIG):
     """Like :func:`ilqr_tpu.solver.solve` but records an IterationTrace.
 
-    Runs a fixed ``config.max_iter``-length scan with a ``done`` mask
-    (fixed shapes → jit/vmap-friendly); prefer :func:`solve` when the trace
-    is not needed and ``max_iter`` is large.
+    Runs a fixed ``config.max_iter``-length scan of the shared step (fixed
+    shapes → jit/vmap-friendly); iterations after termination are frozen by
+    the step's RUNNING mask and marked invalid.  Prefer :func:`solve` when
+    the trace is not needed and ``max_iter`` is large.
     """
 
     dtype = x_init.dtype
+    engine = make_scalar_engine(problem, x_ref, config)
 
     def body(state, _):
-        xs, us, prev_cost, status, reg = state
-        running = status == int(Status.RUNNING)
-
-        bwd = backward_pass(problem, xs, us, config, reg=reg)
-        fwd = forward_pass(problem, xs, us, bwd.duffs, bwd.Ks,
-                           prev_cost, x_ref, config)
-
-        du_sq = jnp.sum((fwd.us - us) ** 2)
-        converged = jnp.logical_and(fwd.accepted, du_sq <= config.tol)
-        if config.tol_grad > 0.0:
-            converged = jnp.logical_or(converged,
-                                       jnp.abs(bwd.dV1) <= config.tol_grad)
-        ls_failed = jnp.logical_and(~fwd.accepted, ~converged)
-
-        if config.adaptive_reg:
-            new_reg = jnp.where(
-                ls_failed,
-                jnp.minimum(reg * config.reg_scale, config.reg_max),
-                jnp.maximum(reg / config.reg_scale, config.reg_min))
-            fatal_ls = jnp.logical_and(ls_failed, reg >= config.reg_max)
-        else:
-            new_reg = reg
-            fatal_ls = ls_failed
-
-        new_status = jnp.where(
-            converged, jnp.int32(int(Status.CONVERGED)),
-            jnp.where(fatal_ls, jnp.int32(int(Status.LINESEARCH_FAILED)),
-                      jnp.int32(int(Status.RUNNING))))
-
-        keep_old = (~fwd.accepted) | (converged if config.reference_return_semantics
-                                      else jnp.bool_(False))
-        xs_next = jnp.where(keep_old, xs, fwd.xs)
-        us_next = jnp.where(keep_old, us, fwd.us)
-        cost_next = jnp.where(fwd.accepted, fwd.cost, prev_cost)
-
-        # Freeze the state once no longer running.
-        xs_out = jnp.where(running, xs_next, xs)
-        us_out = jnp.where(running, us_next, us)
-        cost_out = jnp.where(running, cost_next, prev_cost)
-        status_out = jnp.where(running, new_status, status)
-        reg_out = jnp.where(running, new_reg, reg)
-
+        new_state, aux = ilqr_step(engine, config, state)
         row = IterationTrace(
-            cost=jnp.where(running, fwd.cost, jnp.asarray(jnp.nan, dtype)),
-            alpha=fwd.alpha,
-            backtracks=fwd.backtracks,
-            du_sq=du_sq,
-            dV1=bwd.dV1,
-            reg=reg,
-            status=status_out,
-            valid=running,
+            cost=jnp.where(aux.valid, aux.cost, jnp.asarray(jnp.nan, dtype)),
+            alpha=aux.alpha,
+            backtracks=aux.backtracks,
+            du_sq=aux.du_sq,
+            dV1=aux.dV1,
+            reg=aux.reg,
+            status=aux.status,
+            valid=aux.valid,
         )
-        return (xs_out, us_out, cost_out, status_out, reg_out), row
+        return new_state, row
 
-    init = (x_init, u_init, jnp.asarray(jnp.inf, dtype),
-            jnp.int32(int(Status.RUNNING)), jnp.asarray(config.reg, dtype))
-    (xs, us, cost, status, reg), trace = jax.lax.scan(
-        body, init, None, length=config.max_iter)
+    final, trace = jax.lax.scan(
+        body, initial_state(x_init, u_init, config), None,
+        length=config.max_iter)
 
-    status = jnp.where(status == int(Status.RUNNING),
-                       jnp.int32(int(Status.MAX_ITER)), status)
-    iterations = jnp.sum(trace.valid.astype(jnp.int32))
-    cost = jnp.where(jnp.isinf(cost),
-                     total_cost(problem, xs, us, x_ref).astype(dtype), cost)
+    status = finalize_status(final.status)
+    cost = jnp.where(jnp.isinf(final.prev_cost),
+                     total_cost(problem, final.xs, final.us,
+                                x_ref).astype(dtype),
+                     final.prev_cost)
     result = SolverResult(
-        xs=xs, us=us, cost=cost, iterations=iterations, status=status,
-        reg=reg, alpha=trace.alpha[jnp.maximum(iterations - 1, 0)],
-        du_sq=trace.du_sq[jnp.maximum(iterations - 1, 0)],
+        xs=final.xs, us=final.us, cost=cost, iterations=final.iteration,
+        status=status, reg=final.reg, alpha=final.alpha, du_sq=final.du_sq,
     )
     return result, trace

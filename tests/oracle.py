@@ -122,11 +122,14 @@ def oracle_forward(d: OracleDerivs, xs, us, x_traj, duffs, Ks, prev_cost,
         if prev_cost - new_cost > 0:
             return xs_new, us_new, new_cost, alpha
         alpha /= 2.0
-    raise RuntimeError("oracle line search failed")
+    # No improving alpha: the iterate is optimal to working (f64)
+    # precision.  The reference would spin forever here
+    # (src/forward_pass.jl:70-87); the oracle reports it instead.
+    return None
 
 
 def oracle_fit(dynamics, cost, final_cost, x_init, u_init, x_traj=None,
-               max_iter=100, tol=1e-6, reg=0.01):
+               max_iter=100, tol=1e-6, reg=0.01, verbose_every=0):
     d = OracleDerivs(dynamics, cost, final_cost)
     xs = np.array(x_init, dtype=np.float64)
     us = np.array(u_init, dtype=np.float64)
@@ -136,11 +139,17 @@ def oracle_fit(dynamics, cost, final_cost, x_init, u_init, x_traj=None,
     iters = 0
     for _ in range(int(max_iter)):
         duffs, Ks = oracle_backward(d, xs, us, reg=reg)
-        xs_new, us_new, new_cost, _alpha = oracle_forward(
-            d, xs, us, x_traj, duffs, Ks, prev_cost)
+        fwd = oracle_forward(d, xs, us, x_traj, duffs, Ks, prev_cost)
+        if fwd is None:
+            # Line-search exhaustion: optimal to f64 resolution; return the
+            # current iterate without counting the failed iteration.
+            break
+        xs_new, us_new, new_cost, _alpha = fwd
         assert prev_cost > new_cost
         prev_cost = new_cost
         iters += 1
+        if verbose_every and iters % verbose_every == 0:
+            print(f"oracle iter {iters}: cost {new_cost:.9g}", flush=True)
         if np.sum((us_new - us) ** 2) <= tol:
             # Reference returns the pre-update trajectory here
             # (break before the update, src/forward_pass.jl:171-175).

@@ -1,0 +1,76 @@
+"""Multi-host runtime readiness tests.
+
+Real multi-host hardware is unavailable here, so these validate the
+pieces individually: ``initialize_multihost``'s explicit-argument path is
+exercised in a subprocess as a real 1-process "cluster" (the code path
+that calls ``jax.distributed.initialize`` with a coordinator address), and
+the scaling harness (scripts/bench_scaling.py) runs end-to-end on the
+virtual CPU mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _run(cmd, env_extra=None, timeout=480):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra or {})
+    return subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def test_initialize_multihost_explicit_args_single_process():
+    """The explicit coordinator/num_processes/process_id path through
+    jax.distributed.initialize works for a 1-process cluster (what a real
+    pod launcher does per host)."""
+
+    code = """
+import jax
+from ilqr_tpu.parallel.distributed import initialize_multihost
+initialize_multihost(coordinator_address="localhost:57629",
+                     num_processes=1, process_id=0)
+assert jax.process_count() == 1
+assert jax.process_index() == 0
+from ilqr_tpu.parallel.distributed import global_scenario_mesh, per_host_keys
+mesh = global_scenario_mesh()
+assert mesh.devices.size == len(jax.devices())
+k0 = per_host_keys(0)
+assert k0.shape == (2,) or k0.dtype.name.startswith("key")
+print("MULTIHOST_OK")
+"""
+    r = _run([sys.executable, "-c", code], env_extra={"JAX_PLATFORMS": "cpu"})
+    assert "MULTIHOST_OK" in r.stdout, (r.stdout, r.stderr)
+
+
+def test_initialize_multihost_num_processes_one_is_noop():
+    from ilqr_tpu.parallel.distributed import initialize_multihost
+
+    # Must not raise and must not try to reach a coordinator.
+    initialize_multihost(coordinator_address="nowhere:1", num_processes=1)
+
+
+def test_scaling_bench_runs_on_virtual_mesh():
+    """scripts/bench_scaling.py end-to-end on 4 virtual CPU devices: valid
+    JSON rows, sane efficiency numbers, all scenarios converged."""
+
+    r = _run([sys.executable, "scripts/bench_scaling.py", "--platform", "cpu",
+              "--devices", "4", "--batch-per-device", "8", "--T", "20",
+              "--max-iter", "12"])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    rows = [json.loads(line) for line in r.stdout.strip().splitlines()
+            if line.startswith("{")]
+    assert [row["devices"] for row in rows] == [1, 2, 4]
+    for row in rows:
+        assert row["solves_per_s"] > 0
+        assert 0 < row["efficiency_vs_1dev"]
+        assert row["batch"] == 8 * row["devices"]
+    # On the (serial) host platform efficiency is not meaningful, but the
+    # harness contract is: row 1 defines the baseline == 1.0.
+    assert rows[0]["efficiency_vs_1dev"] == pytest.approx(1.0)

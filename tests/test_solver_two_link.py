@@ -9,12 +9,14 @@ SURVEY.md §4 — this is the intended behavior.)
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ilqr_tpu.config import ILQRConfig, Status
 from ilqr_tpu.models.two_link import make_two_link_problem
 from ilqr_tpu.solver import fit, make_solver, solve
 
 
+@pytest.mark.slow
 def test_two_link_swingup_reaches_target():
     """N=900 from the example's initial state (animate_2_link.jl:9,13): the
     converged arm reaches the IK target (terminal cost < 0.01 — the

@@ -48,6 +48,52 @@ def test_trace_matches_solver_result():
     assert (np.diff(costs) <= 0).all()
 
 
+def test_trace_agrees_with_solver_under_tol_grad_rel():
+    """The traced solver runs the SAME step body as ``solve`` — a config
+    that converges via the relative-gradient stationarity test must report
+    CONVERGED in both (this drifted in round 1: the trace loop lost the
+    tol_grad_rel test and reported LINESEARCH_FAILED)."""
+
+    problem = make_two_link_problem()
+    T = 40
+    x0 = jnp.asarray([0.3, 0.7, 0.2, 0.5], jnp.float32)
+    us0 = jnp.zeros((T, 2), jnp.float32)
+    xs0 = rollout(problem.dynamics, x0, us0).astype(jnp.float32)
+
+    config = ILQRConfig(max_iter=200, tol=0.0, tol_grad=0.0,
+                        tol_grad_rel=1e-5)
+    plain = solve(problem, xs0, us0, config=config)
+    traced, trace = solve_with_trace(problem, xs0, us0, config=config)
+
+    assert int(plain.status) == int(Status.CONVERGED)
+    assert int(traced.status) == int(plain.status)
+    assert int(traced.iterations) == int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(traced.us), np.asarray(plain.us),
+                               atol=0, rtol=0)
+    # No backtracks row may carry the old -1 placeholder.
+    assert (np.asarray(trace.backtracks) >= 0).all()
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Restoring into a template with a different pytree structure or leaf
+    shapes raises instead of silently mis-assigning leaves."""
+
+    import pytest
+
+    state = {"xs": jnp.ones((3, 2)), "iter": jnp.int32(4)}
+    path = os.path.join(tmp_path, "s.npz")
+    save_solver_state(path, state)
+
+    ok = load_solver_state(path, {"xs": jnp.zeros((3, 2)), "iter": jnp.int32(0)})
+    np.testing.assert_array_equal(np.asarray(ok["xs"]), np.ones((3, 2)))
+
+    with pytest.raises(ValueError):
+        load_solver_state(path, {"xs": jnp.zeros((3, 2)),
+                                 "iter": jnp.int32(0), "extra": jnp.zeros(1)})
+    with pytest.raises(ValueError):
+        load_solver_state(path, {"xs": jnp.zeros((5, 2)), "iter": jnp.int32(0)})
+
+
 def test_checkpoint_roundtrip(tmp_path):
     problem = make_two_link_problem()
     T = 10
