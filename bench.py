@@ -59,14 +59,15 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   backend="pallas", engine="fused", dtype=jnp.float32,
                   tol_grad=1e-10, tol_grad_rel=1e-6, adaptive_reg=False,
                   problem_name="two_link", noise=0.1, repeats=3, label="",
-                  scan_unroll=8):
+                  scan_unroll=8, derivative_chunk=0):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
     problem, nominal, n, m = _make_problem(problem_name)
     config = ILQRConfig(max_iter=max_iter, tol=tol, tol_grad=tol_grad,
                         tol_grad_rel=tol_grad_rel, adaptive_reg=adaptive_reg,
-                        backward_backend=backend, scan_unroll=scan_unroll)
+                        backward_backend=backend, scan_unroll=scan_unroll,
+                        derivative_chunk=derivative_chunk)
     solve_fn = make_batch_solver(problem, config, engine=engine)
 
     key = jax.random.PRNGKey(0)
@@ -192,6 +193,9 @@ def main():
     ap.add_argument("--unroll", type=int, default=None,
                     help="rollout scan unroll (default 8; use 1-2 for "
                          "long-horizon/RBD to keep compiles tractable)")
+    ap.add_argument("--deriv-chunk", type=int, default=0,
+                    help="derivative-sweep lax.map chunk (0 = whole "
+                         "horizon); bounds jacfwd peak memory for RBD")
     args = ap.parse_args()
 
     baseline_per_chip = 10000.0 / 16.0  # BASELINE.md: 10k solves/s on v5e-16
@@ -233,7 +237,8 @@ def main():
             backend=args.backend, engine=args.engine,
             tol_grad=args.tol_grad, tol_grad_rel=args.tol_grad_rel,
             problem_name="rbd", noise=0.05,
-            scan_unroll=args.unroll or 2)
+            scan_unroll=args.unroll or 2,
+            derivative_chunk=args.deriv_chunk)
         print(json.dumps({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{args.T or 1000}",
             "value": round(value, 2),

@@ -71,10 +71,19 @@ def total_cost_bl(problem: Problem, xs, us, x_ref=None):
 
 
 @highest_precision
-def derivatives_bl(problem: Problem, xs, us):
+def derivatives_bl(problem: Problem, xs, us, chunk: int = 0):
     """All local models, batch-last: returns
     ``As [T,n,n,B], Bs [T,n,m,B], qx [T,n,B], ru [T,m,B], Qxx [T,n,n,B],
-    Pux [T,m,n,B], Ruu [T,m,m,B], qxN [n,B], QN [n,n,B]``."""
+    Pux [T,m,n,B], Ruu [T,m,m,B], qxN [n,B], QN [n,n,B]``.
+
+    ``chunk > 0`` evaluates the horizon in ``lax.map`` chunks of that many
+    timesteps instead of one whole-horizon ``vmap``: the jacfwd
+    intermediates of a heavy dynamics (RBD: RK4 over CRBA/RNEA with n+m
+    tangents) only stay live for one chunk, bounding peak HBM at long T
+    (T=1000 RBD at batch 256 OOMs un-chunked) at the cost of a serial
+    chunk loop.  ``T`` must be divisible by ``chunk``; results agree with
+    the unchunked sweep to rounding (different fusion order).
+    """
 
     n = xs.shape[1]
 
@@ -84,7 +93,6 @@ def derivatives_bl(problem: Problem, xs, us):
     else:
         jac = jax.jacfwd(problem.dynamics, argnums=(0, 1))
         jac_b = jax.vmap(jac, in_axes=(-1, -1), out_axes=-1)
-    As, Bs = jax.vmap(jac_b)(xs[:-1], us)
 
     if problem.cost_quadratization is not None:
         def quad_one(x, u):
@@ -104,7 +112,22 @@ def derivatives_bl(problem: Problem, xs, us):
             return gz[:n], gz[n:], Hz[:n, :n], Hz[n:, :n], Hz[n:, n:]
 
     quad_b = jax.vmap(quad_one, in_axes=(-1, -1), out_axes=-1)
-    qx, ru, Qxx, Pux, Ruu = jax.vmap(quad_b)(xs[:-1], us)
+
+    def per_t(x_t, u_t):
+        A, B = jac_b(x_t, u_t)
+        return (A, B) + quad_b(x_t, u_t)
+
+    T = us.shape[0]
+    if chunk and chunk < T:
+        assert T % chunk == 0, (T, chunk)
+        xs_r = xs[:-1].reshape((T // chunk, chunk) + xs.shape[1:])
+        us_r = us.reshape((T // chunk, chunk) + us.shape[1:])
+        out = jax.lax.map(lambda ab: jax.vmap(per_t)(ab[0], ab[1]),
+                          (xs_r, us_r))
+        As, Bs, qx, ru, Qxx, Pux, Ruu = (
+            o.reshape((T,) + o.shape[2:]) for o in out)
+    else:
+        As, Bs, qx, ru, Qxx, Pux, Ruu = jax.vmap(per_t)(xs[:-1], us)
 
     if problem.final_cost_quadratization is not None:
         def final_one(x):
@@ -252,7 +275,8 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
     lane axis."""
 
     def backward(xs, us, reg):
-        models = derivatives_bl(problem, xs, us)
+        models = derivatives_bl(problem, xs, us,
+                                chunk=config.derivative_chunk)
         duffs, Ks, dv1, _dv2 = riccati_bl(*models, reg=reg, config=config)
         return duffs, Ks, dv1
 

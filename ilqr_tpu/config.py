@@ -85,6 +85,12 @@ class ILQRConfig:
     # on TPU; unrolling amortizes it.  Pure performance knob — numerics are
     # unchanged.
     scan_unroll: int = 8
+    # Evaluate the fused engine's derivative sweep in lax.map chunks of this
+    # many timesteps (0 = whole horizon at once).  Bounds the peak memory of
+    # jacfwd intermediates for heavy dynamics at long horizons (RBD T=1000
+    # OOMs un-chunked at batch 256); agrees with the unchunked sweep to
+    # rounding.
+    derivative_chunk: int = 0
     # Return the pre-update trajectory when the convergence test fires, which
     # is what the reference does (the break at src/forward_pass.jl:171 runs
     # before the trajectory update at :174-175).  Set False to return the

@@ -91,8 +91,8 @@ def main():
     config_scan = ILQRConfig(backward_backend="scan")
 
     key = jax.random.PRNGKey(0)
-    x0 = jnp.asarray([0.3, 0.7, 0.2, 0.5], dtype) + 0.1 * jax.random.normal(
-        key, (4, B), dtype)
+    x0 = jnp.asarray([0.3, 0.7, 0.2, 0.5], dtype)[:, None] \
+        + 0.1 * jax.random.normal(key, (4, B), dtype)
     us = 0.1 * jax.random.normal(key, (T, m, B), dtype)
 
     print(f"device: {jax.devices()[0]}  B={B} T={T} n={n} m={m}")

@@ -61,6 +61,38 @@ def test_fused_failure_isolation():
                                np.asarray(ref.us)[[0, 2]], atol=1e-10)
 
 
+def test_chunked_derivative_sweep_is_identical():
+    """derivatives_bl with lax.map time-chunking returns bit-identical local
+    models (it is a pure memory-bounding knob), and the fused solve with
+    config.derivative_chunk set matches the unchunked solve."""
+
+    import jax.numpy as jnp
+
+    from ilqr_tpu.batched import batched_solve_fused, derivatives_bl, rollout_bl
+
+    problem, x0s, us0 = _setup(B=4, T=24, seed=5)
+    x0_bl = jnp.moveaxis(x0s, 0, -1)
+    us_bl = jnp.moveaxis(us0, 0, -1) + 0.05
+    xs_bl = rollout_bl(problem, x0_bl, us_bl)
+
+    full = derivatives_bl(problem, xs_bl, us_bl, chunk=0)
+    chunked = derivatives_bl(problem, xs_bl, us_bl, chunk=8)
+    for a, b in zip(full, chunked):
+        # lax.map vs vmap fuse slightly differently — agreement to rounding.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
+
+    config = ILQRConfig(max_iter=40, tol=1e-8)
+    xs0 = jnp.moveaxis(rollout_bl(problem, x0_bl, jnp.moveaxis(us0, 0, -1)),
+                       -1, 0)
+    ref = batched_solve_fused(problem, xs0, us0, config=config)
+    out = batched_solve_fused(problem, xs0, us0,
+                              config=config.replace(derivative_chunk=6))
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_fused_adaptive_reg():
     problem, x0s, us0 = _setup(B=3, T=20, seed=3)
     config = ILQRConfig(max_iter=60, tol=1e-8, adaptive_reg=True)
