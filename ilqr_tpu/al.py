@@ -110,7 +110,8 @@ def _augment_problem(problem: Problem, constraint, constraint_T,
         return base + _al_penalty(cT, lam_T, mu, is_eq_T)
 
     return Problem(dynamics=dynamics, cost=cost, final_cost=final_cost,
-                   state_dim=(problem.state_dim or 0) + 1 or None,
+                   state_dim=(problem.state_dim + 1
+                              if problem.state_dim is not None else None),
                    control_dim=problem.control_dim,
                    name=problem.name + "_al")
 

@@ -24,6 +24,7 @@ batch-last ``lax.scan`` elsewhere.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -265,6 +266,9 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
     )
     k, alpha, accepted, bts, xs_b, us_b, cost_b = jax.lax.while_loop(
         cond, body, init)
+    # Ladder-exhausted lanes report backtracks == max_backtracks (the number
+    # of rejected alphas), matching the per-scenario forward_pass convention.
+    bts = jnp.where(accepted, bts, k)
     return xs_b, us_b, cost_b, jnp.logical_and(accepted, active), alpha, bts
 
 
@@ -291,6 +295,97 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
         select=jnp.where,
         select_traj=lambda m, new, old: jnp.where(m[None, None, :], new, old),
     )
+
+
+def make_chunked_batch_solver(problem: Problem,
+                              config: ILQRConfig = DEFAULT_CONFIG,
+                              iter_chunk: int = 10,
+                              x_ref=None,
+                              on_chunk=None):
+    """A host-chunked variant of :func:`batched_solve_fused`.
+
+    Returns ``solve_fn(xs0, us0) -> SolverResult`` (batch-FIRST interface,
+    same results as the single-dispatch path) that runs the solver loop as
+    a sequence of device dispatches of at most ``iter_chunk`` iterations
+    each, with the state staying resident on device between dispatches.
+
+    Why: a single ``lax.while_loop`` over many heavy iterations is one
+    enormous device program — on the tunneled v5e an RBD batch at
+    ``max_iter=60`` ran >60 s in one dispatch and died with a device fault
+    (``UNAVAILABLE: TPU device error``, see BENCH.md round-3 section),
+    and a single dispatch gives zero progress visibility.  Chunking bounds
+    per-dispatch runtime at a ~μs-scale dispatch cost per chunk and lets
+    ``on_chunk(n_passes, n_running)`` stream progress (e.g. for logging or
+    early abort: return True from ``on_chunk`` to stop).
+
+    ``x_ref`` (batch-first ``[B, T, n]`` or None) is baked into the
+    returned solver, mirroring ``make_batch_solver``'s static problem.
+    """
+
+    x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
+    engine = make_batch_last_engine(problem, x_ref_bl, config)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    @highest_precision
+    def run_chunk(state, n_passes):
+        def cond(carry):
+            state, n_passes, k = carry
+            return jnp.logical_and(
+                jnp.any(state.status == int(Status.RUNNING)),
+                jnp.logical_and(n_passes < config.max_iter, k < iter_chunk))
+
+        def body(carry):
+            state, n_passes, k = carry
+            return ilqr_step(engine, config, state)[0], n_passes + 1, k + 1
+
+        state, n_passes, _ = jax.lax.while_loop(
+            cond, body, (state, n_passes, jnp.int32(0)))
+        n_running = jnp.sum(
+            (state.status == int(Status.RUNNING)).astype(jnp.int32))
+        return state, n_passes, n_running
+
+    @jax.jit
+    @highest_precision
+    def prepare(xs0, us0):
+        xs_bl = jnp.moveaxis(xs0, 0, -1)
+        us_bl = jnp.moveaxis(us0, 0, -1)
+        B = xs_bl.shape[-1]
+        return initial_state(xs_bl, us_bl, config, lane_shape=(B,))
+
+    @jax.jit
+    @highest_precision
+    def finalize(state):
+        status = finalize_status(state.status)
+        cost = jnp.where(
+            jnp.isinf(state.prev_cost),
+            total_cost_bl(problem, state.xs, state.us,
+                          x_ref_bl).astype(state.xs.dtype),
+            state.prev_cost)
+        return SolverResult(
+            xs=jnp.moveaxis(state.xs, -1, 0),
+            us=jnp.moveaxis(state.us, -1, 0),
+            cost=cost,
+            iterations=state.iteration,
+            status=status,
+            reg=state.reg,
+            alpha=state.alpha,
+            du_sq=state.du_sq,
+        )
+
+    def solve_fn(xs0, us0):
+        state = prepare(xs0, us0)
+        n_passes = jnp.int32(0)
+        while True:
+            state, n_passes, n_running = run_chunk(state, n_passes)
+            n_passes_h = int(n_passes)
+            n_running_h = int(n_running)
+            if on_chunk is not None and on_chunk(n_passes_h, n_running_h):
+                break
+            if n_running_h == 0 or n_passes_h >= config.max_iter:
+                break
+        return finalize(state)
+
+    return solve_fn
 
 
 @highest_precision

@@ -76,6 +76,13 @@ class ILQRConfig:
     reg_min: float = 1e-6
     reg_max: float = 1e6
     reg_scale: float = 10.0
+    # Tassa-style escalation (only with adaptive_reg): an ACCEPTED step that
+    # needed >= this many rejected alphas also raises reg — on stiff
+    # problems (heavy terminal weights, attitude dynamics) a fixed tiny reg
+    # produces overshooting steps that crawl at alpha ~ 0.1 forever; raising
+    # reg until steps accept near alpha = 1 restores fast descent.  0
+    # disables (only a fully failed ladder raises reg).
+    reg_backtrack_trigger: int = 0
     # Backward-pass backend: "scan" (sequential lax.scan, reference-faithful)
     # or "associative" (parallel-in-time Riccati via lax.associative_scan,
     # log-depth in the horizon — the framework's long-horizon story).

@@ -23,26 +23,50 @@ from ilqr_tpu.parallel.mesh import SCENARIO_AXIS, make_scenario_mesh
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
+                         process_id: Optional[int] = None,
+                         initialization_timeout: Optional[int] = None) -> None:
     """Initialize the multi-controller runtime (no-op if single-process).
 
     On TPU pods the three arguments are auto-detected from the environment;
     pass them explicitly for CPU/GPU clusters.
+
+    Failure policy: when the caller asked for a multi-process run (explicit
+    ``coordinator_address`` or ``num_processes > 1``) an initialization
+    failure RAISES — silently degrading to one process would "succeed" the
+    job with 1/N of the work.  Only the fully-auto path (no arguments, no
+    cluster detected) is allowed to fall back, and it warns when it does.
     """
 
     if num_processes is not None and num_processes <= 1:
         return
     if coordinator_address is None and jax.process_count() > 1:
         return  # already initialized by the launcher
+
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     if coordinator_address is not None:
+        # Explicit cluster spec: never swallow a failure (e.g. a bad or
+        # unreachable coordinator address raises out of here).
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
-                                   process_id=process_id)
-    else:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run
+                                   process_id=process_id, **kwargs)
+        return
+
+    multi_requested = num_processes is not None and num_processes > 1
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:
+        if multi_requested:
+            raise RuntimeError(
+                f"multi-host initialization failed for num_processes="
+                f"{num_processes}; refusing to silently run single-process"
+            ) from e
+        import warnings
+
+        warnings.warn(
+            "jax.distributed.initialize() failed; continuing single-process "
+            f"(auto-detection found no cluster): {e!r}", stacklevel=2)
 
 
 def global_scenario_mesh():

@@ -117,8 +117,15 @@ def ilqr_step(engine: StepEngine, config: ILQRConfig,
     ls_failed = jnp.logical_and(~accepted, ~converged)
 
     if config.adaptive_reg:
+        raise_reg = ls_failed
+        if config.reg_backtrack_trigger > 0:
+            # A step that only accepted deep in the ladder is a sign the
+            # local model overshoots; steer reg up so the next step accepts
+            # near alpha = 1 (Tassa et al. 2012 schedule).
+            raise_reg = jnp.logical_or(
+                raise_reg, fbts >= config.reg_backtrack_trigger)
         reg_new = jnp.where(
-            ls_failed,
+            raise_reg,
             jnp.minimum(state.reg * config.reg_scale, config.reg_max),
             jnp.maximum(state.reg / config.reg_scale, config.reg_min),
         )

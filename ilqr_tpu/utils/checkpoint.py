@@ -11,6 +11,7 @@ of silently mis-assigning leaves.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any
 
 import jax
@@ -46,24 +47,41 @@ def load_solver_state(path: str, like: Any) -> Any:
     data = np.load(path)
     like_leaves, treedef = jax.tree.flatten(like)
 
-    saved_def = bytes(data["__treedef__"]).decode() if "__treedef__" in data else None
-    if saved_def is not None and saved_def != _treedef_repr(like):
-        raise ValueError(
-            "checkpoint pytree structure does not match the template:\n"
-            f"  saved:    {saved_def}\n  template: {_treedef_repr(like)}")
-
     n = treedef.num_leaves
     missing = [i for i in range(n) if f"leaf_{i}" not in data]
     if missing:
         raise ValueError(f"checkpoint is missing leaves {missing} "
                          f"(expected {n} leaves)")
+
+    # PyTreeDef repr is not a stable serialization format (it changes across
+    # JAX versions, and older checkpoints stored it JSON-quoted), so a repr
+    # mismatch alone is not fatal: if every leaf's shape AND dtype still
+    # matches the template the checkpoint is accepted with a warning; a repr
+    # mismatch combined with any leaf mismatch raises.
+    saved_def = bytes(data["__treedef__"]).decode() if "__treedef__" in data else None
+    if saved_def is not None:
+        saved_def = saved_def.strip('"')  # legacy JSON-quoted form
+    repr_matches = saved_def is None or saved_def == _treedef_repr(like)
+
     leaves = []
     for i, like_leaf in enumerate(like_leaves):
         leaf = data[f"leaf_{i}"]
         like_shape = np.shape(like_leaf)
-        if tuple(leaf.shape) != tuple(like_shape):
-            raise ValueError(
-                f"checkpoint leaf {i} shape {tuple(leaf.shape)} does not "
-                f"match template shape {tuple(like_shape)}")
+        like_dtype = np.asarray(like_leaf).dtype
+        if tuple(leaf.shape) != tuple(like_shape) or leaf.dtype != like_dtype:
+            msg = (
+                f"checkpoint leaf {i} ({leaf.dtype}{tuple(leaf.shape)}) does "
+                f"not match template ({like_dtype}{tuple(like_shape)})")
+            if not repr_matches:
+                msg += (
+                    "\ncheckpoint pytree structure also differs:\n"
+                    f"  saved:    {saved_def}\n  template: {_treedef_repr(like)}")
+            raise ValueError(msg)
         leaves.append(leaf)
+
+    if not repr_matches:
+        warnings.warn(
+            "checkpoint treedef repr differs from the template (stale repr "
+            "format or JAX version change); accepting because every leaf "
+            "shape and dtype matches", stacklevel=2)
     return jax.tree.unflatten(treedef, leaves)

@@ -112,7 +112,10 @@ def main():
             "converged": n_conv,
             "platform": str(devices[0].platform),
         }))
-        assert n_conv == B or result is not None  # sanity
+        # Sanity: at these settings (well-conditioned perturbations around
+        # the nominal state) the solve must make progress on most lanes; a
+        # zero converged count means the sharded path is broken.
+        assert n_conv > 0, f"no lanes converged at n_dev={n_dev}"
 
 
 if __name__ == "__main__":

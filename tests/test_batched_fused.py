@@ -102,3 +102,68 @@ def test_fused_adaptive_reg():
     np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.reg), np.asarray(ref.reg))
+
+
+def test_chunked_driver_matches_single_dispatch():
+    """make_chunked_batch_solver (host-chunked dispatches) returns exactly
+    the single-while_loop fused result, for chunk sizes that do and do not
+    divide the iteration count."""
+
+    from ilqr_tpu.batched import batched_solve_fused, make_chunked_batch_solver
+    from ilqr_tpu.problem import rollout
+
+    problem, x0s, us0 = _setup(B=5, T=20, seed=7)
+    config = ILQRConfig(max_iter=60, tol=1e-8)
+    xs0 = jax.vmap(lambda x0, us: rollout(problem.dynamics, x0, us))(x0s, us0)
+    ref = batched_solve_fused(problem, xs0, us0, config=config)
+
+    for iter_chunk in (3, 7, 100):
+        chunks = []
+        solve_fn = make_chunked_batch_solver(
+            problem, config, iter_chunk=iter_chunk,
+            on_chunk=lambda n_passes, n_running: chunks.append(
+                (n_passes, n_running)) and False)
+        out = solve_fn(xs0, us0)
+        np.testing.assert_array_equal(np.asarray(out.status),
+                                      np.asarray(ref.status))
+        np.testing.assert_array_equal(np.asarray(out.iterations),
+                                      np.asarray(ref.iterations))
+        np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
+                                   rtol=1e-12)
+        assert len(chunks) >= 1
+        assert chunks[-1][1] == 0  # all lanes finished
+        # progress is monotone in passes and cumulative across dispatches
+        passes = [c[0] for c in chunks]
+        assert passes == sorted(passes)
+
+
+def test_chunked_driver_early_abort():
+    from ilqr_tpu.batched import make_chunked_batch_solver
+    from ilqr_tpu.problem import rollout
+
+    problem, x0s, us0 = _setup(B=3, T=15, seed=8)
+    config = ILQRConfig(max_iter=50, tol=1e-12)  # tight tol: runs long
+    xs0 = jax.vmap(lambda x0, us: rollout(problem.dynamics, x0, us))(x0s, us0)
+    solve_fn = make_chunked_batch_solver(
+        problem, config, iter_chunk=2,
+        on_chunk=lambda n_passes, n_running: n_passes >= 4)  # abort early
+    out = solve_fn(xs0, us0)
+    assert int(np.max(np.asarray(out.iterations))) <= 4
+
+
+def test_fused_tassa_reg_schedule():
+    """adaptive_reg with reg_backtrack_trigger (raise reg on backtracked
+    accepts, Tassa-style): fused engine matches the vmapped engine."""
+
+    problem, x0s, us0 = _setup(B=4, T=20, seed=9)
+    config = ILQRConfig(max_iter=60, tol=1e-8, adaptive_reg=True,
+                        reg=1.0, reg_min=1e-4, reg_scale=5.0,
+                        reg_backtrack_trigger=1)
+    ref = batch_solve(problem, x0s, us0, config=config, engine="vmap")
+    out = batch_solve(problem, x0s, us0, config=config, engine="fused")
+    np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.reg), np.asarray(ref.reg))

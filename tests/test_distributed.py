@@ -74,3 +74,30 @@ def test_scaling_bench_runs_on_virtual_mesh():
     # On the (serial) host platform efficiency is not meaningful, but the
     # harness contract is: row 1 defines the baseline == 1.0.
     assert rows[0]["efficiency_vs_1dev"] == pytest.approx(1.0)
+
+
+def test_initialize_multihost_bad_coordinator_fails_loudly():
+    """A misconfigured cluster (coordinator that never completes) with
+    num_processes > 1 must fail LOUDLY — either a raised exception or the
+    JAX coordination client's fatal abort — never a silent fall-through to
+    single-process work (round-2 review: silently degrading ran 1/N of the
+    work and 'succeeded')."""
+
+    code = """
+from ilqr_tpu.parallel.distributed import initialize_multihost
+try:
+    initialize_multihost(coordinator_address="127.0.0.1:1",
+                         num_processes=2, process_id=0,
+                         initialization_timeout=2)
+except Exception as e:
+    print("RAISED_OK", type(e).__name__)
+    raise SystemExit(3)
+else:
+    print("DID_NOT_RAISE")
+"""
+    r = _run([sys.executable, "-c", code], env_extra={"JAX_PLATFORMS": "cpu"},
+             timeout=240)
+    # jax's coordination client LOG(FATAL)s on registration timeout, so the
+    # subprocess dies nonzero; a python-level exception (exit 3) also counts.
+    assert r.returncode != 0, (r.returncode, r.stdout, r.stderr)
+    assert "DID_NOT_RAISE" not in r.stdout, (r.stdout, r.stderr)
