@@ -10,10 +10,13 @@ convergence flags and throughput counters reduced via ``psum`` over ICI.
 
 from ilqr_tpu.parallel.batching import batch_solve, make_batch_solver
 from ilqr_tpu.parallel.mesh import make_scenario_mesh, sharded_batch_solve
+from ilqr_tpu.parallel.pipeline import make_pipeline_mesh, pipelined_solve
 
 __all__ = [
     "batch_solve",
     "make_batch_solver",
+    "make_pipeline_mesh",
     "make_scenario_mesh",
+    "pipelined_solve",
     "sharded_batch_solve",
 ]

@@ -91,11 +91,33 @@ def ilqr_step(engine: StepEngine, config: ILQRConfig,
     their ``aux.valid`` is False.  Pure function of the state — safe inside
     ``lax.while_loop`` (drivers that want early exit) and ``lax.scan``
     (drivers that want a fixed-shape trace).
+
+    Composition of the two phase halves so pipelined drivers
+    (:mod:`ilqr_tpu.parallel.pipeline`) can run them on different devices
+    without forking the algorithm: :func:`ilqr_step` ==
+    ``ilqr_step_apply(..., *ilqr_step_backward(...))``.
     """
 
-    running = state.status == int(Status.RUNNING)
+    duffs, Ks, dV1 = ilqr_step_backward(engine, state)
+    return ilqr_step_apply(engine, config, state, duffs, Ks, dV1)
 
-    duffs, Ks, dV1 = engine.backward(state.xs, state.us, state.reg)
+
+def ilqr_step_backward(engine: StepEngine, state: StepState):
+    """Phase 1: the backward Riccati pass on the current iterate.
+
+    Returns ``(duffs, Ks, dV1)`` — everything the forward phase needs."""
+
+    return engine.backward(state.xs, state.us, state.reg)
+
+
+def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
+                    state: StepState, duffs, Ks, dV1
+                    ) -> tuple[StepState, StepAux]:
+    """Phase 2: stationarity gate, line-searched forward pass, and all
+    convergence/status bookkeeping, given phase 1's outputs for the SAME
+    ``state``."""
+
+    running = state.status == int(Status.RUNNING)
 
     # First-order stationarity: predicted linear decrease ~ 0.  A stationary
     # iterate has no improving alpha, so skip the line-search ladder rather
