@@ -183,6 +183,53 @@ def rnea_bias(mech: Mechanism, q, v):
     return tau
 
 
+def rnea_inverse_dynamics(mech: Mechanism, q, v, a):
+    """Full inverse dynamics ``tau = M(q) a + C(q, v) v + g(q) [nv]`` —
+    RNEA with nonzero joint accelerations (Featherstone ch. 5; generalizes
+    :func:`rnea_bias`, which is the ``a = 0`` special case).
+
+    Built from the same ``Xup``/``S``/inertia quantities as the CRBA mass
+    matrix, so the identity ``rnea_inverse_dynamics(q, v, a) ==
+    crba_mass_matrix(q) @ a + rnea_bias(q, v)`` holds exactly for ANY raw
+    coordinate vector ``q`` (unit quaternion or not) — the property the
+    analytic forward-dynamics derivative rule below relies on.
+    """
+
+    dtype = q.dtype
+    Xups, Ss = _tree_quantities(mech, q, dtype)
+    Is = _body_inertias(mech, dtype)
+    n = mech.n_bodies
+
+    a_grav = jnp.concatenate([
+        jnp.zeros(3, dtype), -jnp.asarray(mech.gravity, dtype)])
+
+    vs: List = [None] * n
+    as_: List = [None] * n
+    fs: List = [None] * n
+    for i in range(n):
+        p = mech.parents[i]
+        lo, hi = mech.v_slices[i]
+        vJ = Ss[i] @ v[lo:hi] if hi > lo else jnp.zeros(6, dtype)
+        aJ = Ss[i] @ a[lo:hi] if hi > lo else jnp.zeros(6, dtype)
+        if p < 0:
+            vs[i] = vJ
+            as_[i] = Xups[i] @ a_grav + aJ
+        else:
+            vs[i] = Xups[i] @ vs[p] + vJ
+            as_[i] = Xups[i] @ as_[p] + aJ + crm(vs[i]) @ vJ
+        fs[i] = Is[i] @ as_[i] + crf(vs[i]) @ (Is[i] @ vs[i])
+
+    tau = jnp.zeros(mech.nv, dtype)
+    for i in range(n - 1, -1, -1):
+        lo, hi = mech.v_slices[i]
+        if hi > lo:
+            tau = tau.at[lo:hi].set(Ss[i].T @ fs[i])
+        p = mech.parents[i]
+        if p >= 0:
+            fs[p] = fs[p] + Xups[i].T @ fs[i]
+    return tau
+
+
 def forward_dynamics(mech: Mechanism, q, v, tau):
     """``v̇ = M(q)^{-1} (tau - bias(q, v))`` via CRBA + RNEA + the unrolled
     SPD solve (the reference's ``v̇ = M \\ (-dynamics_bias + u)``,
@@ -193,3 +240,62 @@ def forward_dynamics(mech: Mechanism, q, v, tau):
     M = crba_mass_matrix(mech, q)
     bias = rnea_bias(mech, q, v)
     return solve_psd_small(M, tau - bias)
+
+
+def make_forward_dynamics_analytic_jvp(mech: Mechanism):
+    """Forward dynamics with the analytic derivative rule of Carpentier &
+    Mansard ("Analytical derivatives of rigid body dynamics algorithms",
+    RSS 2018): differentiate the INVERSE dynamics at the computed
+    acceleration instead of differentiating CRBA + Cholesky + solve.
+
+    From ``RNEA(q, v, v̇) = tau``, implicit differentiation gives
+
+        ∂v̇/∂z = -M(q)^{-1} · ∂RNEA(q, v, a)/∂z |_{a = v̇}      (z ∈ {q, v})
+        ∂v̇/∂tau =  M(q)^{-1}
+
+    so a JVP costs one RNEA-JVP plus one pair of triangular solves against
+    the PRIMAL Cholesky factor — no tangent ever propagates through the
+    composite-inertia accumulation (the expensive half of CRBA) or the
+    factorization.  Under ``jacfwd`` the primal (CRBA + RNEA + Cholesky)
+    is computed once, unbatched, and only the cheap tangent rule
+    replicates over the n+m basis vectors; measured on the floating-base
+    arm this more than halves the iLQR derivative-sweep cost that
+    dominates RBD solve time (BENCH.md round 3).
+
+    Returns ``fd(q, v, tau) -> v̇`` — same values as
+    :func:`forward_dynamics` (identical primal code), custom JVP.
+    """
+
+    import jax
+
+    from ilqr_tpu.ops.linalg import (
+        cholesky_small,
+        solve_tri_lower,
+        solve_tri_upper,
+    )
+
+    def _chol_solve(L, b):
+        return solve_tri_upper(jnp.swapaxes(L, -1, -2),
+                               solve_tri_lower(L, b))
+
+    @jax.custom_jvp
+    def fd(q, v, tau):
+        return forward_dynamics(mech, q, v, tau)
+
+    @fd.defjvp
+    def fd_jvp(primals, tangents):
+        q, v, tau = primals
+        dq, dv, dtau = tangents
+        M = crba_mass_matrix(mech, q)
+        L = cholesky_small(M)
+        bias = rnea_bias(mech, q, v)
+        vdot = _chol_solve(L, tau - bias)
+        # JVP of inverse dynamics at FIXED a = v̇ (vdot is a closure
+        # constant here, so no tangent flows into the acceleration).
+        _, dtau_id = jax.jvp(
+            lambda q_, v_: rnea_inverse_dynamics(mech, q_, v_, vdot),
+            (q, v), (dq, dv))
+        dvdot = _chol_solve(L, dtau - dtau_id)
+        return vdot, dvdot
+
+    return fd

@@ -47,7 +47,8 @@ def mrp_to_rbd_state(x):
 
 
 def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
-                      reference_kinematics: bool = False):
+                      reference_kinematics: bool = False,
+                      analytic_derivatives: bool = True):
     """RK4 discrete dynamics over the MRP state
     (RBD_helper_functions.jl:48-79).
 
@@ -55,11 +56,30 @@ def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
     floating=True)``).  ``u`` spans all nv degrees of freedom — like the
     reference, the base is directly actuated (6 wrench components) alongside
     the joint torques.
+
+    ``analytic_derivatives`` (default on) routes forward dynamics through
+    the Carpentier-Mansard custom JVP
+    (:func:`ilqr_tpu.models.rbd.dynamics.make_forward_dynamics_analytic_jvp`):
+    identical values, and ``jacfwd`` of the dynamics differentiates only
+    the RNEA recursion at fixed acceleration instead of CRBA + Cholesky —
+    the iLQR linearization sweep is the dominant RBD cost, so this is the
+    main RBD throughput lever.  Set False for the plain-AD path (used by
+    the equivalence test).
     """
 
     assert mech.joints[0].joint_type == "floating", (
         "make_rbd_dynamics expects a floating-base mechanism")
     nj = mech.nv - 6
+
+    if analytic_derivatives:
+        from ilqr_tpu.models.rbd.dynamics import (
+            make_forward_dynamics_analytic_jvp,
+        )
+
+        fd = make_forward_dynamics_analytic_jvp(mech)
+    else:
+        def fd(q, v, tau):
+            return forward_dynamics(mech, q, v, tau)
 
     def continuous_dynamics(x, u):
         p = x[0:3]
@@ -71,7 +91,7 @@ def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
 
         quat = q_from_p(p)
         q_mech = jnp.concatenate([quat, r, theta])
-        vdot = forward_dynamics(mech, q_mech, vel, u)
+        vdot = fd(q_mech, vel, u)
 
         p_dot = pdot_from_w(p, omega)
         if reference_kinematics:
@@ -96,7 +116,8 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
                          urdf_path: str = TWO_DOF_ARM_URDF,
                          dt: float = 0.01,
                          terminal_weight: float = 1e5,
-                         reference_kinematics: bool = False) -> Problem:
+                         reference_kinematics: bool = False,
+                         analytic_derivatives: bool = True) -> Problem:
     """The reference's floating-base 2-DoF arm swing-up
     (animate_RBD_2_link.jl:8-10 + RBD_helper_functions.jl:85-116):
     zero gravity, pose target [MRP(3), position(3), joints(2)], diagonal
@@ -112,7 +133,8 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
     assert target.shape == (npose,)
 
     dynamics = make_rbd_dynamics(mech, dt=dt,
-                                 reference_kinematics=reference_kinematics)
+                                 reference_kinematics=reference_kinematics,
+                                 analytic_derivatives=analytic_derivatives)
 
     # Diagonal weights from RBD_helper_functions.jl:88-116.
     q_weights = jnp.asarray([100.0] * 3 + [1.0] * 3 + [10.0] * nj)
