@@ -65,7 +65,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   problem_name="two_link", noise=0.1, repeats=3, label="",
                   scan_unroll=8, derivative_chunk=0, iter_chunk=0,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
-                  reg_backtrack_trigger=0):
+                  reg_backtrack_trigger=0, exact_ls_delta=False):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -75,7 +75,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                         backward_backend=backend, scan_unroll=scan_unroll,
                         derivative_chunk=derivative_chunk, reg=reg,
                         reg_min=reg_min, reg_scale=reg_scale,
-                        reg_backtrack_trigger=reg_backtrack_trigger)
+                        reg_backtrack_trigger=reg_backtrack_trigger,
+                        exact_ls_delta=exact_ls_delta)
     if iter_chunk > 0:
         # Host-chunked dispatches: bounded per-dispatch device time (the
         # single-dispatch RBD run at max_iter=60 died with a TPU device
@@ -246,6 +247,10 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
+    ap.add_argument("--exact-delta", action="store_true",
+                    help="high-resolution line-search acceptance "
+                         "(config.exact_ls_delta): sum of per-step cost "
+                         "differences instead of rounded totals")
     args = ap.parse_args()
 
     baseline_per_chip = 10000.0 / 16.0  # BASELINE.md: 10k solves/s on v5e-16
@@ -272,7 +277,8 @@ def main():
             max_iter=args.max_iter or 100, tol=1e-6,
             backend=args.backend, engine=args.engine,
             tol_grad=0.0, tol_grad_rel=0.0, label=" STRICT",
-            scan_unroll=args.unroll or 8)
+            scan_unroll=args.unroll or 8,
+            exact_ls_delta=args.exact_delta)
         print(json.dumps({
             "metric": "ilqr_solves_per_s_per_chip_2link_N100_strict_tol1e-6",
             "value": round(value, 2),

@@ -63,12 +63,19 @@ def rollout_bl(problem: Problem, x0, us, unroll=1):
 def total_cost_bl(problem: Problem, xs, us, x_ref=None):
     """Per-lane total cost ``[B]`` (same semantics as problem.total_cost)."""
 
+    steps, final = step_costs_bl(problem, xs, us, x_ref)
+    return jnp.sum(steps, axis=0) + final
+
+
+def step_costs_bl(problem: Problem, xs, us, x_ref=None):
+    """Per-timestep running costs ``[T, B]`` and terminal cost ``[B]``
+    (batch-last analogue of ``problem.step_costs``)."""
+
     _, bcost, bfinal = _batched_callables(problem)
     xs_run = xs[:-1]
     if x_ref is not None:
         xs_run = xs_run - x_ref[: xs_run.shape[0]]
-    step_costs = jax.vmap(bcost)(xs_run, us)  # [T, B]
-    return jnp.sum(step_costs, axis=0) + bfinal(xs[-1])
+    return jax.vmap(bcost)(xs_run, us), bfinal(xs[-1])
 
 
 @highest_precision
@@ -232,6 +239,9 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
     if active is None:
         active = jnp.ones((B,), bool)
 
+    if config.exact_ls_delta:
+        steps_old, final_old = step_costs_bl(problem, xs, us, x_ref)
+
     def cond(carry):
         k, _alpha, accepted, *_ = carry
         return jnp.logical_and(k < config.max_backtracks, ~jnp.all(accepted))
@@ -240,8 +250,19 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
         k, alpha, accepted, bts, xs_b, us_b, cost_b = carry
         xs_new, us_new = closed_loop_rollout_bl(
             problem, xs, us, duffs, Ks, alpha, unroll=config.scan_unroll)
-        cost = total_cost_bl(problem, xs_new, us_new, x_ref).astype(dtype)
-        accept_now = jnp.logical_and(~accepted, (prev_cost - cost) > 0)
+        if config.exact_ls_delta:
+            steps_new, final_new = step_costs_bl(problem, xs_new, us_new,
+                                                 x_ref)
+            cost = (jnp.sum(steps_new, axis=0) + final_new).astype(dtype)
+            delta = (jnp.sum(steps_new - steps_old, axis=0)
+                     + (final_new - final_old)).astype(dtype)
+            improve = jnp.logical_and(
+                jnp.logical_or(jnp.isinf(prev_cost), delta < 0),
+                ~jnp.isnan(cost))
+            accept_now = jnp.logical_and(~accepted, improve)
+        else:
+            cost = total_cost_bl(problem, xs_new, us_new, x_ref).astype(dtype)
+            accept_now = jnp.logical_and(~accepted, (prev_cost - cost) > 0)
         take = accept_now[None, None, :]
         xs_b = jnp.where(take, xs_new, xs_b)
         us_b = jnp.where(take, us_new, us_b)

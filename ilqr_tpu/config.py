@@ -103,6 +103,17 @@ class ILQRConfig:
     # before the trajectory update at :174-175).  Set False to return the
     # newer (strictly better) iterate.
     reference_return_semantics: bool = True
+    # High-resolution line-search acceptance: evaluate the SAME condition
+    # "new cost < previous cost" (src/forward_pass.jl:79) as a sum of
+    # per-timestep cost DIFFERENCES instead of a difference of two rounded
+    # totals.  Nearby per-step costs subtract exactly in floating point
+    # (Sterbenz), so the decrease resolves to ~eps * max_t L_t instead of
+    # ~eps * sum_t L_t — in f32 this certifies true decreases that the
+    # rounded-total comparison cannot see (the "f32 cost-resolution floor"
+    # lanes of BENCH.md).  Identical decisions wherever the rounded test
+    # already resolves; default off for bit-parity with the reference
+    # acceptance order.
+    exact_ls_delta: bool = False
 
     def __post_init__(self):
         if self.backward_backend == "associative" and self.reg > 0.0:

@@ -81,14 +81,34 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
     if active is None:
         active = jnp.bool_(True)
 
+    if config.exact_ls_delta:
+        from ilqr_tpu.problem import step_costs
+
+        steps_old, final_old = step_costs(problem, xs, us, x_ref)
+
     def try_alpha(alpha):
         xs_new, us_new = closed_loop_rollout(problem, xs, us, duffs, Ks, alpha,
                                              unroll=config.scan_unroll)
         # Pin the cost to the trajectory dtype: model constants may live at
         # a higher precision (e.g. f64-under-x64 with f32 trajectories) and
         # would otherwise promote the while-loop carry.
-        cost = total_cost(problem, xs_new, us_new, x_ref).astype(dtype)
-        return xs_new, us_new, cost
+        if config.exact_ls_delta:
+            from ilqr_tpu.problem import step_costs
+
+            steps_new, final_new = step_costs(problem, xs_new, us_new, x_ref)
+            cost = (jnp.sum(steps_new) + final_new).astype(dtype)
+            # Same condition as prev_cost - cost > 0, evaluated as a sum of
+            # per-step differences (resolves decreases the rounded totals
+            # cannot); first iteration (prev_cost = inf) always accepts.
+            delta = (jnp.sum(steps_new - steps_old)
+                     + (final_new - final_old)).astype(dtype)
+            accept = jnp.logical_or(jnp.isinf(prev_cost),
+                                    delta < 0)  # NaN delta → reject
+            accept = jnp.logical_and(accept, ~jnp.isnan(cost))
+        else:
+            cost = total_cost(problem, xs_new, us_new, x_ref).astype(dtype)
+            accept = (prev_cost - cost) > 0  # False for NaN cost → backtrack
+        return xs_new, us_new, cost, accept
 
     def cond(carry):
         k, _alpha, accepted, *_ = carry
@@ -98,8 +118,7 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
 
     def body(carry):
         k, alpha, _accepted, xs_c, us_c, _cost = carry
-        xs_new, us_new, cost = try_alpha(alpha)
-        accept = (prev_cost - cost) > 0  # False for NaN cost → backtrack
+        xs_new, us_new, cost, accept = try_alpha(alpha)
         next_alpha = jnp.where(accept, alpha, alpha * config.alpha_factor)
         return (k + 1, next_alpha, accept, xs_new, us_new, cost)
 

@@ -91,3 +91,17 @@ def total_cost(problem: Problem, xs: jax.Array, us: jax.Array,
         xs_run = xs_run - x_ref[: xs_run.shape[0]]
     step_costs = jax.vmap(problem.cost)(xs_run, us)
     return jnp.sum(step_costs) + problem.final_cost(xs[-1])
+
+
+def step_costs(problem: Problem, xs: jax.Array, us: jax.Array,
+               x_ref: Optional[jax.Array] = None):
+    """Per-timestep running costs ``[T]`` and terminal cost (scalar), with
+    the same offset semantics as :func:`total_cost` — so
+    ``total_cost == sum(steps) + final``.  Used by the high-resolution
+    line-search acceptance (``config.exact_ls_delta``), which differences
+    these per-step values instead of the rounded totals."""
+
+    xs_run = xs[:-1]
+    if x_ref is not None:
+        xs_run = xs_run - x_ref[: xs_run.shape[0]]
+    return jax.vmap(problem.cost)(xs_run, us), problem.final_cost(xs[-1])
