@@ -65,7 +65,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   problem_name="two_link", noise=0.1, repeats=3, label="",
                   scan_unroll=8, derivative_chunk=0, iter_chunk=0,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
-                  reg_backtrack_trigger=0, exact_ls_delta=False):
+                  reg_backtrack_trigger=0, exact_ls_delta=False,
+                  snapshot_every=0):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -86,6 +87,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
 
         chunked = make_chunked_batch_solver(
             problem, config, iter_chunk=iter_chunk,
+            snapshot_every=snapshot_every,
             on_chunk=lambda p, r: print(
                 f"[bench:batched{label}]   chunk: passes={p} running={r}",
                 file=sys.stderr) and False)
@@ -304,6 +306,9 @@ def main():
             scan_unroll=args.unroll or 1,
             derivative_chunk=args.deriv_chunk or (100 if T >= 500 else 0),
             iter_chunk=args.iter_chunk or 10,
+            # Host snapshot each chunk: a worker crash mid-solve (observed
+            # at B=512/T=1000) resumes instead of losing the run.
+            snapshot_every=1,
             adaptive_reg=True, reg=1.0, reg_min=1e-3,
             reg_scale=10.0, reg_backtrack_trigger=1)
         print(json.dumps({

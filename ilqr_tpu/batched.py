@@ -322,7 +322,10 @@ def make_chunked_batch_solver(problem: Problem,
                               config: ILQRConfig = DEFAULT_CONFIG,
                               iter_chunk: int = 10,
                               x_ref=None,
-                              on_chunk=None):
+                              on_chunk=None,
+                              snapshot_every: int = 0,
+                              max_retries: int = 2,
+                              _fault_hook=None):
     """A host-chunked variant of :func:`batched_solve_fused`.
 
     Returns ``solve_fn(xs0, us0) -> SolverResult`` (batch-FIRST interface,
@@ -341,6 +344,16 @@ def make_chunked_batch_solver(problem: Problem,
 
     ``x_ref`` (batch-first ``[B, T, n]`` or None) is baked into the
     returned solver, mirroring ``make_batch_solver``'s static problem.
+
+    ``snapshot_every > 0`` adds crash resilience: every that-many chunks
+    the solver state is copied to HOST memory, and a runtime failure
+    during a chunk (device fault, worker restart — observed on this
+    hardware: the B=512/T=1000 RBD sweep killed the TPU worker mid-run,
+    BENCH.md round 3) is retried up to ``max_retries`` times from the
+    last snapshot instead of losing the whole solve.  Retry clears the
+    dispatch's executable cache so the (restarted) backend recompiles
+    from the on-disk compilation cache.  Costs one device→host transfer
+    of the solver state per snapshot.
     """
 
     x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
@@ -396,10 +409,35 @@ def make_chunked_batch_solver(problem: Problem,
     def solve_fn(xs0, us0):
         state = prepare(xs0, us0)
         n_passes = jnp.int32(0)
+        snapshot = None
+        if snapshot_every > 0:
+            snapshot = (jax.device_get(state), 0)
+        chunk_idx = 0
+        retries = 0
         while True:
-            state, n_passes, n_running = run_chunk(state, n_passes)
-            n_passes_h = int(n_passes)
-            n_running_h = int(n_running)
+            try:
+                if _fault_hook is not None:
+                    _fault_hook(chunk_idx)  # test seam: simulated fault
+                state, n_passes, n_running = run_chunk(state, n_passes)
+                # The chunk's health is only known once its outputs
+                # materialize on the host; fetch inside the try so a
+                # deferred device fault is caught and retried too.
+                n_passes_h = int(n_passes)
+                n_running_h = int(n_running)
+            except jax.errors.JaxRuntimeError:
+                if snapshot is None or retries >= max_retries:
+                    raise
+                retries += 1
+                # The restarted backend's cached executables are dead;
+                # recompile (served from the persistent compilation cache).
+                run_chunk.clear_cache()
+                host_state, n_passes_h = snapshot
+                state = jax.device_put(host_state)
+                n_passes = jnp.int32(n_passes_h)
+                continue
+            chunk_idx += 1
+            if snapshot_every > 0 and chunk_idx % snapshot_every == 0:
+                snapshot = (jax.device_get(state), n_passes_h)
             if on_chunk is not None and on_chunk(n_passes_h, n_running_h):
                 break
             if n_running_h == 0 or n_passes_h >= config.max_iter:

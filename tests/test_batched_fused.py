@@ -139,6 +139,50 @@ def test_chunked_driver_matches_single_dispatch():
         assert passes == sorted(passes)
 
 
+def test_chunked_driver_crash_resume():
+    """snapshot_every + max_retries: a runtime fault mid-solve resumes from
+    the last host snapshot and still produces exactly the single-dispatch
+    result (the real trigger: the B=512/T=1000 RBD bench killed the TPU
+    worker mid-run, BENCH.md round 3)."""
+
+    from ilqr_tpu.batched import batched_solve_fused, make_chunked_batch_solver
+    from ilqr_tpu.problem import rollout
+
+    problem, x0s, us0 = _setup(B=5, T=20, seed=7)
+    config = ILQRConfig(max_iter=60, tol=1e-8)
+    xs0 = jax.vmap(lambda x0, us: rollout(problem.dynamics, x0, us))(x0s, us0)
+    ref = batched_solve_fused(problem, xs0, us0, config=config)
+
+    faults = {"count": 0}
+
+    def fault_twice(chunk_idx):
+        # Fail the 2nd dispatch twice (a post-chunk-1 snapshot exists).
+        if chunk_idx == 1 and faults["count"] < 2:
+            faults["count"] += 1
+            raise jax.errors.JaxRuntimeError("injected: device fault")
+
+    solve_fn = make_chunked_batch_solver(
+        problem, config, iter_chunk=2, snapshot_every=1, max_retries=2,
+        _fault_hook=fault_twice)
+    out = solve_fn(xs0, us0)
+    assert faults["count"] == 2  # both injected faults fired and were retried
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               rtol=1e-12, atol=1e-14)
+
+    # Without snapshots the same fault is fatal (no silent mask).
+    faults["count"] = 0
+    solve_fn2 = make_chunked_batch_solver(
+        problem, config, iter_chunk=2, _fault_hook=fault_twice)
+    import pytest
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        solve_fn2(xs0, us0)
+
+
 def test_chunked_driver_early_abort():
     from ilqr_tpu.batched import make_chunked_batch_solver
     from ilqr_tpu.problem import rollout
