@@ -28,7 +28,6 @@ import math
 
 import jax.numpy as jnp
 
-from ilqr_tpu.ops.linalg import solve_psd_small
 from ilqr_tpu.problem import Problem
 
 
@@ -160,17 +159,51 @@ def coriolis_matrix(params: TwoLinkParams, theta, theta_dot):
 
 def continuous_dynamics(params: TwoLinkParams, state, u):
     """xdot = [theta_dot; M^{-1}(-C theta_dot + u)]
-    (2_link_helper_functions.jl:53-69)."""
+    (2_link_helper_functions.jl:53-69), fully scalar-expanded for n=2.
 
-    n = state.shape[0] // 2
-    theta, theta_dot = state[:n], state[n:]
-    M = inertia_matrix(params, theta)
-    C = coriolis_matrix(params, theta, theta_dot)
-    # Solve M qdd = -C theta_dot + u.  M is SPD; the unrolled Cholesky solve
-    # avoids XLA's LU expander (unsupported in f64 on TPU, and slow for tiny
-    # systems in any dtype).
-    qdd = solve_psd_small(M, -C @ theta_dot + u)
-    return jnp.concatenate([theta_dot, qdd])
+    Why scalar instead of ``solve_psd_small(M, -C @ theta_dot + u)``: under
+    ``vmap`` + ``jacfwd`` every tiny ``[2,2] @ [2]`` becomes a batched
+    dot_general with contraction size 2, which TPU lowers onto 128-wide MXU
+    passes at ~1% utilization (forced to full-f32 passes by the solver's
+    precision pin).  Hand-expanding the 2x2 algebra — explicit
+    determinant inverse, componentwise Coriolis — keeps the whole dynamics
+    (and its forward-mode duals) as pure [batch]-wide VPU elementwise ops.
+    Measured at the headline config (B=4096, T=100): the linearization +
+    Riccati step drops 27.8 -> 6.5 ms (BENCH.md round 3).  Identical math;
+    equality with the matrix form is asserted in tests/test_derivatives.py.
+    """
+
+    t2 = state[1]
+    td = (state[2], state[3])
+    c2 = jnp.cos(t2)
+    s2 = jnp.sin(t2)
+    al, be, de = params.alpha, params.beta, params.delta
+    m11 = al + 2.0 * be * c2
+    m12 = de + be * c2
+    m22 = de
+
+    # dM[a][b][c] = dM[a,b]/dtheta[c] as trace-time scalar expressions
+    # (inertia_matrix_grad's closed form; only theta2 enters M).
+    g = -be * s2
+    zero = jnp.zeros_like(s2)
+    dM = ((
+        (zero, 2.0 * g), (zero, g)), (
+        (zero, g), (zero, zero)))
+
+    ks = (1,) if params.faithful_coriolis else (0, 1)
+
+    def C(i, j):
+        cij = 0.0
+        for k in ks:
+            cij = cij + 0.5 * (dM[k][i][j] + dM[j][i][k] - dM[i][k][j]) * td[k]
+        return cij
+
+    g1 = -(C(0, 0) * td[0] + C(0, 1) * td[1]) + u[0]
+    g2 = -(C(1, 0) * td[0] + C(1, 1) * td[1]) + u[1]
+    det = m11 * m22 - m12 * m12
+    qdd1 = (m22 * g1 - m12 * g2) / det
+    qdd2 = (m11 * g2 - m12 * g1) / det
+    return jnp.stack([td[0], td[1], qdd1, qdd2])
 
 
 def make_dynamics(params: TwoLinkParams):

@@ -135,3 +135,40 @@ def test_cost_only_depending_on_u_is_fine():
     np.testing.assert_allclose(qx, 0.0)
     np.testing.assert_allclose(Pux, 0.0)
     np.testing.assert_allclose(Ruu[0], 2 * np.eye(2), atol=1e-12)
+
+
+def test_scalar_dynamics_matches_matrix_form():
+    """The scalar-expanded continuous_dynamics (VPU-friendly, no tiny
+    matmuls — see its docstring) equals the textbook matrix form
+    M^{-1}(-C theta_dot + u) built from inertia_matrix/coriolis_matrix,
+    for both Coriolis quirk branches."""
+
+    from ilqr_tpu.models.two_link import (
+        continuous_dynamics,
+        coriolis_matrix,
+    )
+    from ilqr_tpu.ops.linalg import solve_psd_small
+
+    key = jax.random.PRNGKey(11)
+    for faithful in (True, False):
+        params = TwoLinkParams(faithful_coriolis=faithful)
+
+        def matrix_form(state, u):
+            theta, theta_dot = state[:2], state[2:]
+            M = inertia_matrix(params, theta)
+            C = coriolis_matrix(params, theta, theta_dot)
+            qdd = solve_psd_small(M, -C @ theta_dot + u)
+            return jnp.concatenate([theta_dot, qdd])
+
+        for i in range(4):
+            kx, ku, key = jax.random.split(jax.random.fold_in(key, i), 3)
+            x = jax.random.normal(kx, (4,), jnp.float64)
+            u = jax.random.normal(ku, (2,), jnp.float64)
+            np.testing.assert_allclose(
+                np.asarray(continuous_dynamics(params, x, u)),
+                np.asarray(matrix_form(x, u)), rtol=1e-12, atol=1e-12)
+            # jacobians too (the backward pass consumes these)
+            Ja = jax.jacfwd(lambda s: continuous_dynamics(params, s, u))(x)
+            Jm = jax.jacfwd(lambda s: matrix_form(s, u))(x)
+            np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jm),
+                                       rtol=1e-10, atol=1e-12)
