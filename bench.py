@@ -249,10 +249,12 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
-    ap.add_argument("--exact-delta", action="store_true",
+    ap.add_argument("--exact-delta", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="high-resolution line-search acceptance "
                          "(config.exact_ls_delta): sum of per-step cost "
-                         "differences instead of rounded totals")
+                         "differences instead of rounded totals "
+                         "(default: on for --config strict, off otherwise)")
     args = ap.parse_args()
 
     baseline_per_chip = 10000.0 / 16.0  # BASELINE.md: 10k solves/s on v5e-16
@@ -280,7 +282,8 @@ def main():
             backend=args.backend, engine=args.engine,
             tol_grad=0.0, tol_grad_rel=0.0, label=" STRICT",
             scan_unroll=args.unroll or 8,
-            exact_ls_delta=args.exact_delta)
+            exact_ls_delta=(True if args.exact_delta is None
+                            else args.exact_delta))
         print(json.dumps({
             "metric": "ilqr_solves_per_s_per_chip_2link_N100_strict_tol1e-6",
             "value": round(value, 2),

@@ -256,9 +256,17 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
             cost = (jnp.sum(steps_new, axis=0) + final_new).astype(dtype)
             delta = (jnp.sum(steps_new - steps_old, axis=0)
                      + (final_new - final_old)).astype(dtype)
-            improve = jnp.logical_and(
+            # Converging-step acceptance (see forward.forward_pass): a
+            # candidate bitwise identical to the iterate (the gain step
+            # underflowed the f32 update) is the step the convergence
+            # test fires on; delta for it is pure re-evaluation noise.
+            du_step_sq = jnp.sum((us_new - us) ** 2, axis=(0, 1))
+            ok = jnp.logical_or(
                 jnp.logical_or(jnp.isinf(prev_cost), delta < 0),
-                ~jnp.isnan(cost))
+                du_step_sq == 0)
+            # isfinite, not just ~isnan: an inf first-iteration cost must
+            # backtrack (see forward.forward_pass for the full rationale).
+            improve = jnp.logical_and(ok, jnp.isfinite(cost))
             accept_now = jnp.logical_and(~accepted, improve)
         else:
             cost = total_cost_bl(problem, xs_new, us_new, x_ref).astype(dtype)
@@ -345,15 +353,21 @@ def make_chunked_batch_solver(problem: Problem,
     ``x_ref`` (batch-first ``[B, T, n]`` or None) is baked into the
     returned solver, mirroring ``make_batch_solver``'s static problem.
 
-    ``snapshot_every > 0`` adds crash resilience: every that-many chunks
-    the solver state is copied to HOST memory, and a runtime failure
-    during a chunk (device fault, worker restart — observed on this
-    hardware: the B=512/T=1000 RBD sweep killed the TPU worker mid-run,
-    BENCH.md round 3) is retried up to ``max_retries`` times from the
-    last snapshot instead of losing the whole solve.  Retry clears the
-    dispatch's executable cache so the (restarted) backend recompiles
-    from the on-disk compilation cache.  Costs one device→host transfer
-    of the solver state per snapshot.
+    ``snapshot_every > 0`` adds crash resilience against *transient device
+    faults surfaced through a still-live PJRT client* (e.g. the
+    ``UNAVAILABLE: TPU device error`` that killed the B=512/T=1000 RBD
+    sweep mid-run, BENCH.md round 3): every that-many chunks the solver
+    state is copied to HOST memory, and a ``JaxRuntimeError`` during a
+    chunk is retried up to ``max_retries`` times (consecutive — the
+    counter resets after any successful chunk) from the last snapshot
+    instead of losing the whole solve.  Retry clears the dispatch's
+    executable cache so the dispatch recompiles from the on-disk
+    compilation cache.  Before retrying, the backend is probed with a
+    trivial transfer; if the client itself is dead (a genuinely restarted
+    TPU worker invalidates the in-process client — recovery from that
+    requires a new process), the probe's error propagates immediately
+    rather than burning retries.  Costs one device→host transfer of the
+    solver state per snapshot.
     """
 
     x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
@@ -428,13 +442,19 @@ def make_chunked_batch_solver(problem: Problem,
                 if snapshot is None or retries >= max_retries:
                     raise
                 retries += 1
-                # The restarted backend's cached executables are dead;
+                # Probe the client before retrying: if it is dead (backend
+                # restart, not a transient fault) this raises immediately
+                # with the real error instead of burning retries on
+                # recompiles that cannot succeed.
+                jax.block_until_ready(jax.device_put(jnp.zeros(())))
+                # The faulted dispatch's cached executables may be stale;
                 # recompile (served from the persistent compilation cache).
                 run_chunk.clear_cache()
                 host_state, n_passes_h = snapshot
                 state = jax.device_put(host_state)
                 n_passes = jnp.int32(n_passes_h)
                 continue
+            retries = 0  # max_retries bounds CONSECUTIVE faults
             chunk_idx += 1
             if snapshot_every > 0 and chunk_idx % snapshot_every == 0:
                 snapshot = (jax.device_get(state), n_passes_h)

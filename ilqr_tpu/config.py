@@ -110,9 +110,14 @@ class ILQRConfig:
     # (Sterbenz), so the decrease resolves to ~eps * max_t L_t instead of
     # ~eps * sum_t L_t — in f32 this certifies true decreases that the
     # rounded-total comparison cannot see (the "f32 cost-resolution floor"
-    # lanes of BENCH.md).  Identical decisions wherever the rounded test
-    # already resolves; default off for bit-parity with the reference
-    # acceptance order.
+    # lanes of BENCH.md).  Additionally accepts a CONVERGING step: a
+    # candidate bitwise identical to the iterate — at the optimum in f32
+    # the gain step underflows the control update entirely (u + duff ==
+    # u, delta == 0 exactly), which strict decrease would reject forever
+    # although the f64 reference would accept the infinitesimal decrease
+    # and certify sum((du)^2) <= tol on that very step (du_sq == 0).
+    # Identical decisions wherever the rounded test already resolves;
+    # default off for bit-parity with the reference acceptance order.
     exact_ls_delta: bool = False
 
     def __post_init__(self):

@@ -104,7 +104,29 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
                      + (final_new - final_old)).astype(dtype)
             accept = jnp.logical_or(jnp.isinf(prev_cost),
                                     delta < 0)  # NaN delta → reject
-            accept = jnp.logical_and(accept, ~jnp.isnan(cost))
+            # Converging-step acceptance: at an f32 optimum the gain step
+            # UNDERFLOWS the control update — u + alpha*duff + K dx == u
+            # bitwise, so the rollout is identical and delta == 0 exactly.
+            # Strict `delta < 0` would reject that lane forever, although
+            # the f64 reference would accept the infinitesimal decrease
+            # and certify sum((du)^2) <= tol on that very step
+            # (src/forward_pass.jl:171).  Accept iff the candidate is
+            # bitwise identical to the iterate (du_step_sq == 0; then
+            # du_sq == 0 <= tol certifies convergence) — measured: all
+            # 204/4096 strict-mode non-certified lanes end in exactly
+            # this state (scripts/diag_strict.py, BENCH.md round 4).
+            # delta is NOT consulted here: with identical controls the
+            # re-rolled trajectory can differ by ulps (XLA fuses the
+            # unrolled rollout differently than the one that produced
+            # ``xs``), so delta is +/-1-ulp re-evaluation noise of a step
+            # that was never taken.
+            du_step_sq = jnp.sum((us_new - us) ** 2)
+            accept = jnp.logical_or(accept, du_step_sq == 0)
+            # Require a FINITE cost: a first-iteration rollout overflowing
+            # to +inf must backtrack exactly as the rounded path's
+            # inf - inf = NaN comparison rejects it (otherwise the accepted
+            # inf re-arms the isinf(prev_cost) gate forever).
+            accept = jnp.logical_and(accept, jnp.isfinite(cost))
         else:
             cost = total_cost(problem, xs_new, us_new, x_ref).astype(dtype)
             accept = (prev_cost - cost) > 0  # False for NaN cost → backtrack

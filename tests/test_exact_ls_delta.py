@@ -90,6 +90,87 @@ def test_exact_delta_engines_agree():
     assert np.all(np.asarray(r_fused.status) == int(Status.CONVERGED))
 
 
+def test_zero_step_accepted_as_converging():
+    """A candidate identical to the iterate (duff underflowed the update in
+    f32: u + duff == u, delta == 0 exactly) is ACCEPTED under
+    exact_ls_delta when its control change is <= tol — it is precisely the
+    step the reference's convergence test sum((du)^2) <= tol fires on
+    (src/forward_pass.jl:171).  Strict decrease would reject it forever.
+    Measured on hardware: 204/4096 strict-mode lanes end in this state
+    (scripts/diag_strict.py, BENCH.md round 4)."""
+
+    from ilqr_tpu.forward import forward_pass
+    from ilqr_tpu.problem import total_cost
+
+    problem = make_two_link_problem()
+    x0 = jnp.asarray([0.1, -0.1, 0.0, 0.0], jnp.float32)
+    us = jnp.zeros((20, 2), jnp.float32)
+    xs = rollout(problem.dynamics, x0, us)
+    prev_cost = total_cost(problem, xs, us).astype(jnp.float32)
+    duffs = jnp.zeros_like(us)
+    Ks = jnp.zeros((20, 2, 4), jnp.float32)
+
+    base = dict(max_iter=10, tol=1e-6, tol_grad=0.0, tol_grad_rel=0.0)
+    r_exact = forward_pass(problem, xs, us, duffs, Ks, prev_cost,
+                           config=ILQRConfig(exact_ls_delta=True, **base))
+    assert bool(r_exact.accepted)
+    assert float(r_exact.alpha) == 1.0
+    np.testing.assert_array_equal(np.asarray(r_exact.us), np.asarray(us))
+
+    r_rounded = forward_pass(problem, xs, us, duffs, Ks, prev_cost,
+                             config=ILQRConfig(**base))
+    assert not bool(r_rounded.accepted)
+
+    # Fused engine: same decision, per lane.
+    from ilqr_tpu.batched import forward_pass_bl, total_cost_bl
+
+    xs_bl = jnp.moveaxis(jnp.tile(xs[None], (3, 1, 1)), 0, -1)
+    us_bl = jnp.moveaxis(jnp.tile(us[None], (3, 1, 1)), 0, -1)
+    duffs_bl = jnp.zeros_like(us_bl)
+    Ks_bl = jnp.zeros((20, 2, 4, 3), jnp.float32)
+    pc_bl = total_cost_bl(problem, xs_bl, us_bl).astype(jnp.float32)
+    out = forward_pass_bl(problem, xs_bl, us_bl, duffs_bl, Ks_bl, pc_bl,
+                          config=ILQRConfig(exact_ls_delta=True, **base))
+    assert bool(jnp.all(out[3]))  # accepted
+
+
+def test_uphill_step_rejected():
+    """The converging-step rule requires a BITWISE-identical candidate: an
+    uphill duff whose candidates genuinely move the controls (and
+    resolvably increase the cost) is rejected at every rung the ladder
+    tries — it never triggers the zero-step acceptance."""
+
+    from ilqr_tpu.forward import forward_pass
+    from ilqr_tpu.problem import total_cost
+
+    def dynamics(x, u):
+        return 0.9 * x + u
+
+    def cost(x, u):
+        return jnp.sum(x * x) + jnp.sum(u * u)
+
+    def final_cost(x):
+        return jnp.sum(x * x)
+
+    problem = Problem(dynamics=dynamics, cost=cost, final_cost=final_cost,
+                      state_dim=1, control_dim=1, name="uphill")
+    x0 = jnp.asarray([1.0], jnp.float32)
+    us = jnp.zeros((8, 1), jnp.float32)
+    xs = rollout(problem.dynamics, x0, us)
+    prev_cost = total_cost(problem, xs, us).astype(jnp.float32)
+    # Pushing the controls away from 0 strictly increases both the u^2
+    # term and the tracking cost (states grow): uphill at every alpha the
+    # bounded ladder reaches (alpha >= 2^-7 here, all well resolved).
+    duffs = jnp.full_like(us, 1.0)
+    Ks = jnp.zeros((8, 1, 1), jnp.float32)
+    r = forward_pass(problem, xs, us, duffs, Ks, prev_cost,
+                     config=ILQRConfig(max_iter=10, tol=1e-6, tol_grad=0.0,
+                                       tol_grad_rel=0.0, max_backtracks=8,
+                                       exact_ls_delta=True))
+    assert not bool(r.accepted)
+    assert int(r.backtracks) == 8
+
+
 def test_exact_delta_identical_when_resolved():
     """On a well-conditioned problem (f64 two-link) the differenced test
     makes exactly the decisions the rounded test makes — same iterates,
