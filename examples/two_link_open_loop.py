@@ -22,7 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--out", type=str, default="two_link_open_loop.gif")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to the host CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     params = TwoLinkParams()
     dynamics = make_dynamics(params)

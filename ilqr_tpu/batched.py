@@ -224,20 +224,23 @@ def closed_loop_rollout_bl(problem: Problem, xs, us, duffs, Ks, alpha,
 @highest_precision
 def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
                     x_ref=None, config: ILQRConfig = DEFAULT_CONFIG,
-                    active=None):
+                    active=None, dV1=None, dV2=None):
     """Per-lane backtracking line search, batch-last.
 
     Semantics identical to the vmapped ``forward_pass``: each lane accepts
     the first alpha in 1, 1/2, … with any cost decrease (NaN rejected) and
     freezes; the loop runs until every lane accepted or the ladder is
-    exhausted.  Returns ``(xs [T+1,n,B], us [T,m,B], cost [B],
-    accepted [B], alpha [B], backtracks [B])``.
+    exhausted.  ``dV1``/``dV2`` ([B]) feed the optional expected-decrease
+    acceptance (``config.ls_expected_decrease``; see
+    ``forward.forward_pass``).  Returns ``(xs [T+1,n,B], us [T,m,B],
+    cost [B], accepted [B], alpha [B], backtracks [B])``.
     """
 
     B = xs.shape[-1]
     dtype = xs.dtype
     if active is None:
         active = jnp.ones((B,), bool)
+    use_expected = config.ls_expected_decrease and dV1 is not None
 
     if config.exact_ls_delta:
         steps_old, final_old = step_costs_bl(problem, xs, us, x_ref)
@@ -250,6 +253,11 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
         k, alpha, accepted, bts, xs_b, us_b, cost_b = carry
         xs_new, us_new = closed_loop_rollout_bl(
             problem, xs, us, duffs, Ks, alpha, unroll=config.scan_unroll)
+        if use_expected:
+            exp_impr = -(alpha * dV1 + alpha * alpha * dV2)
+            thresh = config.ls_c * jnp.maximum(exp_impr, 0.0).astype(dtype)
+        else:
+            thresh = jnp.zeros((), dtype)
         if config.exact_ls_delta:
             steps_new, final_new = step_costs_bl(problem, xs_new, us_new,
                                                  x_ref)
@@ -262,7 +270,7 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
             # test fires on; delta for it is pure re-evaluation noise.
             du_step_sq = jnp.sum((us_new - us) ** 2, axis=(0, 1))
             ok = jnp.logical_or(
-                jnp.logical_or(jnp.isinf(prev_cost), delta < 0),
+                jnp.logical_or(jnp.isinf(prev_cost), -delta > thresh),
                 du_step_sq == 0)
             # isfinite, not just ~isnan: an inf first-iteration cost must
             # backtrack (see forward.forward_pass for the full rationale).
@@ -270,7 +278,8 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
             accept_now = jnp.logical_and(~accepted, improve)
         else:
             cost = total_cost_bl(problem, xs_new, us_new, x_ref).astype(dtype)
-            accept_now = jnp.logical_and(~accepted, (prev_cost - cost) > 0)
+            accept_now = jnp.logical_and(~accepted,
+                                         (prev_cost - cost) > thresh)
         take = accept_now[None, None, :]
         xs_b = jnp.where(take, xs_new, xs_b)
         us_b = jnp.where(take, us_new, us_b)
@@ -310,12 +319,13 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
     def backward(xs, us, reg):
         models = derivatives_bl(problem, xs, us,
                                 chunk=config.derivative_chunk)
-        duffs, Ks, dv1, _dv2 = riccati_bl(*models, reg=reg, config=config)
-        return duffs, Ks, dv1
+        duffs, Ks, dv1, dv2 = riccati_bl(*models, reg=reg, config=config)
+        return duffs, Ks, dv1, dv2
 
-    def forward(xs, us, duffs, Ks, prev_cost, active):
+    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2):
         return forward_pass_bl(problem, xs, us, duffs, Ks, prev_cost,
-                               x_ref_bl, config, active=active)
+                               x_ref_bl, config, active=active,
+                               dV1=dV1, dV2=dV2)
 
     return StepEngine(
         backward=backward,

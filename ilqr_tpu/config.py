@@ -119,6 +119,18 @@ class ILQRConfig:
     # Identical decisions wherever the rounded test already resolves;
     # default off for bit-parity with the reference acceptance order.
     exact_ls_delta: bool = False
+    # Expected-decrease line-search acceptance (Tassa, Erez & Todorov,
+    # IROS 2012, sec. II-F; framework extension, default off for parity
+    # with the reference's any-decrease rule src/forward_pass.jl:79):
+    # accept a rung only when the achieved decrease is at least ls_c of
+    # the predicted decrease -(alpha dV1 + alpha^2 dV2) from the backward
+    # pass.  On stiff problems (heavy terminal weights) any-decrease
+    # accepts alpha ~ 2^-k crawl steps forever; the ratio test rejects
+    # them, which (with adaptive_reg + reg_backtrack_trigger) drives reg
+    # up until near-alpha=1 steps return.  A predicted decrease <= 0
+    # falls back to any-decrease.
+    ls_expected_decrease: bool = False
+    ls_c: float = 0.1
 
     def __post_init__(self):
         if self.backward_backend == "associative" and self.reg > 0.0:

@@ -64,7 +64,7 @@ def closed_loop_rollout(problem: Problem, xs, us, duffs, Ks, alpha,
 def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
                  x_ref: Optional[jax.Array] = None,
                  config: ILQRConfig = DEFAULT_CONFIG,
-                 active=None) -> ForwardResult:
+                 active=None, dV1=None, dV2=None) -> ForwardResult:
     """Line-searched forward pass.
 
     Equivalent of the reference's public ``forward_pass`` (:55) with the
@@ -75,11 +75,22 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
     improving alpha, so running the ladder would burn ``max_backtracks``
     full rollouts to prove it.  Inactive returns ``accepted=False`` with
     the inputs unchanged.
+
+    ``dV1``/``dV2`` (the backward pass's expected-decrease coefficients:
+    predicted cost change at step alpha is ``alpha dV1 + alpha^2 dV2``)
+    feed the optional expected-decrease acceptance test
+    (``config.ls_expected_decrease``, Tassa et al. 2012): a rung is
+    accepted only if the ACHIEVED decrease is at least ``config.ls_c``
+    of the predicted one, instead of the reference's any-decrease rule
+    (src/forward_pass.jl:79).  On stiff problems any-decrease crawls at
+    alpha ~ 2^-k forever; the ratio test rejects those rungs so the Tassa
+    reg escalation kicks in and restores near-alpha=1 steps.
     """
 
     dtype = xs.dtype
     if active is None:
         active = jnp.bool_(True)
+    use_expected = config.ls_expected_decrease and dV1 is not None
 
     if config.exact_ls_delta:
         from ilqr_tpu.problem import step_costs
@@ -89,6 +100,15 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
     def try_alpha(alpha):
         xs_new, us_new = closed_loop_rollout(problem, xs, us, duffs, Ks, alpha,
                                              unroll=config.scan_unroll)
+        # Acceptance threshold on the achieved decrease: 0 for the
+        # reference's any-decrease rule; ls_c * predicted decrease under
+        # the expected-decrease test (predicted <= 0 falls back to
+        # any-decrease — the quadratic model sees no descent direction).
+        if use_expected:
+            exp_impr = -(alpha * dV1 + alpha * alpha * dV2)
+            thresh = config.ls_c * jnp.maximum(exp_impr, 0.0).astype(dtype)
+        else:
+            thresh = jnp.asarray(0.0, dtype)
         # Pin the cost to the trajectory dtype: model constants may live at
         # a higher precision (e.g. f64-under-x64 with f32 trajectories) and
         # would otherwise promote the while-loop carry.
@@ -103,7 +123,7 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
             delta = (jnp.sum(steps_new - steps_old)
                      + (final_new - final_old)).astype(dtype)
             accept = jnp.logical_or(jnp.isinf(prev_cost),
-                                    delta < 0)  # NaN delta → reject
+                                    -delta > thresh)  # NaN delta → reject
             # Converging-step acceptance: at an f32 optimum the gain step
             # UNDERFLOWS the control update — u + alpha*duff + K dx == u
             # bitwise, so the rollout is identical and delta == 0 exactly.
@@ -129,7 +149,8 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
             accept = jnp.logical_and(accept, jnp.isfinite(cost))
         else:
             cost = total_cost(problem, xs_new, us_new, x_ref).astype(dtype)
-            accept = (prev_cost - cost) > 0  # False for NaN cost → backtrack
+            # False for NaN cost → backtrack; inf prev_cost → accept.
+            accept = (prev_cost - cost) > thresh
         return xs_new, us_new, cost, accept
 
     def cond(carry):

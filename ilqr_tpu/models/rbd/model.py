@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.models.rbd.dynamics import forward_dynamics
@@ -46,29 +47,15 @@ def mrp_to_rbd_state(x):
     return jnp.concatenate([q_from_p(x[:3]), x[3:]])
 
 
-def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
-                      reference_kinematics: bool = False,
-                      analytic_derivatives: bool = True):
-    """RK4 discrete dynamics over the MRP state
-    (RBD_helper_functions.jl:48-79).
-
-    The mechanism must have a floating base joint first (``parse_urdf(...,
-    floating=True)``).  ``u`` spans all nv degrees of freedom — like the
-    reference, the base is directly actuated (6 wrench components) alongside
-    the joint torques.
-
-    ``analytic_derivatives`` (default on) routes forward dynamics through
-    the Carpentier-Mansard custom JVP
-    (:func:`ilqr_tpu.models.rbd.dynamics.make_forward_dynamics_analytic_jvp`):
-    identical values, and ``jacfwd`` of the dynamics differentiates only
-    the RNEA recursion at fixed acceleration instead of CRBA + Cholesky —
-    the iLQR linearization sweep is the dominant RBD cost, so this is the
-    main RBD throughput lever.  Set False for the plain-AD path (used by
-    the equivalence test).
-    """
+def make_rbd_continuous_dynamics(mech: Mechanism,
+                                 reference_kinematics: bool = False,
+                                 analytic_derivatives: bool = True):
+    """The continuous dynamics ``ẋ = f_c(x, u)`` over the MRP state
+    (RBD_helper_functions.jl:51-69): chart kinematics rows + forward
+    dynamics ``v̇ = M(q)^{-1}(u - bias)``."""
 
     assert mech.joints[0].joint_type == "floating", (
-        "make_rbd_dynamics expects a floating-base mechanism")
+        "make_rbd_continuous_dynamics expects a floating-base mechanism")
     nj = mech.nv - 6
 
     if analytic_derivatives:
@@ -102,6 +89,34 @@ def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
         q_dot = jnp.concatenate([p_dot, r_dot, theta_dot])
         return jnp.concatenate([q_dot, vdot])
 
+    return continuous_dynamics
+
+
+def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
+                      reference_kinematics: bool = False,
+                      analytic_derivatives: bool = True):
+    """RK4 discrete dynamics over the MRP state
+    (RBD_helper_functions.jl:48-79).
+
+    The mechanism must have a floating base joint first (``parse_urdf(...,
+    floating=True)``).  ``u`` spans all nv degrees of freedom — like the
+    reference, the base is directly actuated (6 wrench components) alongside
+    the joint torques.
+
+    ``analytic_derivatives`` (default on) routes forward dynamics through
+    the Carpentier-Mansard custom JVP
+    (:func:`ilqr_tpu.models.rbd.dynamics.make_forward_dynamics_analytic_jvp`):
+    identical values, and ``jacfwd`` of the dynamics differentiates only
+    the RNEA recursion at fixed acceleration instead of CRBA + Cholesky —
+    the iLQR linearization sweep is the dominant RBD cost, so this is the
+    main RBD throughput lever.  Set False for the plain-AD path (used by
+    the equivalence test).
+    """
+
+    continuous_dynamics = make_rbd_continuous_dynamics(
+        mech, reference_kinematics=reference_kinematics,
+        analytic_derivatives=analytic_derivatives)
+
     def dynamics(x, u):
         k1 = dt * continuous_dynamics(x, u)
         k2 = dt * continuous_dynamics(x + k1 / 2.0, u)
@@ -112,12 +127,115 @@ def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
     return dynamics
 
 
+def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
+                                reference_kinematics: bool = False):
+    """Analytic ``(A, B) = (∂x'/∂x, ∂x'/∂u)`` of the RK4 step — the custom
+    ``Problem.dynamics_jacobians`` override for the RBD model.
+
+    ``jacfwd`` of the full RK4 dynamics pushes all n + m = 2nv + nv basis
+    tangents through every integrator stage; the u-columns' tangents are
+    structurally zero at the RNEA input of stage 1 and the chart rows never
+    depend on u, but one-hot basis tangents are opaque to XLA so all that
+    zero work is still computed.  This closure instead builds per-stage
+    Jacobians and composes them with the RK4 chain rule:
+
+    * ``Fx`` (stage, [n, n]): one ``jvp`` sweep over the n state basis
+      vectors only (through the Carpentier-Mansard analytic forward-
+      dynamics JVP, which differentiates RNEA at fixed acceleration and
+      reuses the primal Cholesky factor);
+    * ``Fu`` (stage, [n, m]): the control enters only as ``τ`` in
+      ``v̇ = M(q)^{-1}(τ - bias)``, so ``∂f_c/∂u = [0; M(q)^{-1}]``
+      directly — one CRBA + Cholesky + nv triangular solves instead of
+      m tangent RNEA-JVPs per stage;
+    * chain rule: ``K1x = dt·F1x``, ``K2x = dt·F2x (I + K1x/2)``,
+      ``K3x = dt·F3x (I + K2x/2)``, ``K4x = dt·F4x (I + K3x)``,
+      ``A = I + (K1x + 2K2x + 2K3x + K4x)/6`` (and the matching ``u``
+      recursion with the stage ``Fu`` forcing terms) — tiny [n, n]
+      matmuls that vectorize over scenario lanes.
+
+    Algebraically identical to ``jacfwd`` of :func:`make_rbd_dynamics`
+    (chain rule), equal to it numerically up to rounding; tested against
+    it in tests/test_rbd_analytic_jvp.py.
+    """
+
+    from ilqr_tpu.ops.linalg import (
+        cholesky_small,
+        solve_tri_lower,
+        solve_tri_upper,
+    )
+
+    from ilqr_tpu.models.rbd.dynamics import crba_mass_matrix
+
+    continuous_dynamics = make_rbd_continuous_dynamics(
+        mech, reference_kinematics=reference_kinematics,
+        analytic_derivatives=True)
+
+    nv = mech.nv
+    nj = nv - 6
+    n = 2 * nv
+
+    def stage_val_and_fx(x, u):
+        """``(f_c(x, u), ∂f_c/∂x [n, n])`` in one n-tangent sweep (the
+        primal is shared across tangents by vmap, computed once)."""
+
+        def jvp_one(v):
+            return jax.jvp(lambda xx: continuous_dynamics(xx, u), (x,), (v,))
+
+        basis = jnp.eye(n, dtype=x.dtype)
+        val, rows = jax.vmap(jvp_one, out_axes=(None, 0))(basis)
+        return val, rows.T    # rows are ∂f/∂x · e_i → columns of Fx
+
+    def stage_fu(x):
+        """``∂f_c/∂u = [0; M(q)^{-1}] [n, m]`` (chart rows never see u)."""
+
+        p = x[0:3]
+        q_mech = jnp.concatenate([q_from_p(p), x[3:6], x[6:6 + nj]])
+        M = crba_mass_matrix(mech, q_mech)
+        L = cholesky_small(M)
+        Minv = solve_tri_upper(jnp.swapaxes(L, -1, -2),
+                               solve_tri_lower(L, jnp.eye(nv, dtype=x.dtype)))
+        return jnp.concatenate(
+            [jnp.zeros((nv, nv), x.dtype), Minv], axis=0)
+
+    def dynamics_jacobians(x, u):
+        eye = jnp.eye(n, dtype=x.dtype)
+
+        f1, F1 = stage_val_and_fx(x, u)
+        x2 = x + dt * f1 / 2.0
+        f2, F2 = stage_val_and_fx(x2, u)
+        x3 = x + dt * f2 / 2.0
+        f3, F3 = stage_val_and_fx(x3, u)
+        x4 = x + dt * f3
+        _f4, F4 = stage_val_and_fx(x4, u)
+
+        G1 = stage_fu(x)
+        G2 = stage_fu(x2)
+        G3 = stage_fu(x3)
+        G4 = stage_fu(x4)
+
+        K1x = dt * F1
+        K2x = dt * (F2 @ (eye + K1x / 2.0))
+        K3x = dt * (F3 @ (eye + K2x / 2.0))
+        K4x = dt * (F4 @ (eye + K3x))
+        A = eye + (K1x + 2.0 * K2x + 2.0 * K3x + K4x) / 6.0
+
+        K1u = dt * G1
+        K2u = dt * (F2 @ (K1u / 2.0) + G2)
+        K3u = dt * (F3 @ (K2u / 2.0) + G3)
+        K4u = dt * (F4 @ K3u + G4)
+        B = (K1u + 2.0 * K2u + 2.0 * K3u + K4u) / 6.0
+        return A, B
+
+    return dynamics_jacobians
+
+
 def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
                          urdf_path: str = TWO_DOF_ARM_URDF,
                          dt: float = 0.01,
                          terminal_weight: float = 1e5,
                          reference_kinematics: bool = False,
-                         analytic_derivatives: bool = True) -> Problem:
+                         analytic_derivatives: bool = True,
+                         analytic_jacobians: bool = True) -> Problem:
     """The reference's floating-base 2-DoF arm swing-up
     (animate_RBD_2_link.jl:8-10 + RBD_helper_functions.jl:85-116):
     zero gravity, pose target [MRP(3), position(3), joints(2)], diagonal
@@ -135,6 +253,9 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
     dynamics = make_rbd_dynamics(mech, dt=dt,
                                  reference_kinematics=reference_kinematics,
                                  analytic_derivatives=analytic_derivatives)
+    jacobians = (make_rbd_dynamics_jacobians(
+        mech, dt=dt, reference_kinematics=reference_kinematics)
+        if analytic_jacobians else None)
 
     # Diagonal weights from RBD_helper_functions.jl:88-116.
     q_weights = jnp.asarray([100.0] * 3 + [1.0] * 3 + [10.0] * nj)
@@ -156,4 +277,5 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
         state_dim=2 * mech.nv,
         control_dim=mech.nv,
         name="rbd_2dof_arm",
+        dynamics_jacobians=jacobians,
     )

@@ -12,7 +12,7 @@ Layout
 A 2-stage ring over mesh axis ``"pipeline"``:
 
 * stage 0 runs :func:`ilqr_tpu.step.ilqr_step_backward` on its resident
-  microbatch (derivatives + Riccati recursion -> ``duffs, Ks, dV1``);
+  microbatch (derivatives + Riccati recursion -> ``duffs, Ks, dV1, dV2``);
 * stage 1 runs :func:`ilqr_tpu.step.ilqr_step_apply` (stationarity gate,
   backtracking rollouts, convergence bookkeeping);
 * after every tick the resident microbatch states rotate one stage with
@@ -124,20 +124,21 @@ def pipelined_solve(problem: Problem, mesh: Mesh, x0s: jax.Array,
         duffs0 = jnp.zeros((T, m, mb), dtype)
         Ks0 = jnp.zeros((T, m, n, mb), dtype)
         dV10 = jnp.zeros((mb,), dtype)
-        payload = (state, duffs0, Ks0, dV10)
+        dV20 = jnp.zeros((mb,), dtype)
+        payload = (state, duffs0, Ks0, dV10, dV20)
 
         fwd_perm = [(i, (i + 1) % N_STAGES) for i in range(N_STAGES)]
 
         def tick(t, payload):
-            state, duffs, Ks, dV1 = payload
+            state, duffs, Ks, dV1, dV2 = payload
 
             def do_backward(_):
-                d, K, v = ilqr_step_backward(engine, state)
-                return state, d, K, v
+                d, K, v, v2 = ilqr_step_backward(engine, state)
+                return state, d, K, v, v2
 
             def do_forward(_):
                 new_state, _aux = ilqr_step_apply(
-                    engine, config, state, duffs, Ks, dV1)
+                    engine, config, state, duffs, Ks, dV1, dV2)
                 # Tick 0's forward stage holds a microbatch whose backward
                 # outputs are still the zero placeholders — applying them
                 # would fake a du_sq=0 "converged" no-op step.  Pass the
@@ -145,7 +146,7 @@ def pipelined_solve(problem: Problem, mesh: Mesh, x0s: jax.Array,
                 primed = t > 0
                 merged = jax.tree.map(
                     lambda a, b: jnp.where(primed, a, b), new_state, state)
-                return (merged, duffs, Ks, dV1)
+                return (merged, duffs, Ks, dV1, dV2)
 
             payload = jax.lax.cond(stage == 0, do_backward, do_forward,
                                    operand=None)

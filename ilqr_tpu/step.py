@@ -67,10 +67,14 @@ class StepAux(NamedTuple):
 class StepEngine(NamedTuple):
     """Layout-specific primitives the shared step body is written against.
 
-    ``backward(xs, us, reg) -> (duffs, Ks, dV1)``
-    ``forward(xs, us, duffs, Ks, prev_cost, active)
+    ``backward(xs, us, reg) -> (duffs, Ks, dV1, dV2)`` where
+        ``dV1 = sum_t duff_t . Qu_t`` and
+        ``dV2 = 0.5 sum_t duff_t . Quu_t duff_t`` (the expected cost
+        change at step size alpha is ``alpha dV1 + alpha^2 dV2``);
+    ``forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2)
         -> (xs, us, cost, accepted, alpha, backtracks)`` where ``accepted``
-        must be False for lanes with ``active=False``;
+        must be False for lanes with ``active=False`` (``dV1``/``dV2``
+        feed the optional expected-decrease acceptance test);
     ``du_sq(us_new, us_old) -> per-lane scalar``
     ``select(mask, new, old)`` — per-lane ``where`` for lane-shaped values;
     ``select_traj(mask, new, old)`` — ``where`` broadcast over a trajectory.
@@ -98,20 +102,21 @@ def ilqr_step(engine: StepEngine, config: ILQRConfig,
     ``ilqr_step_apply(..., *ilqr_step_backward(...))``.
     """
 
-    duffs, Ks, dV1 = ilqr_step_backward(engine, state)
-    return ilqr_step_apply(engine, config, state, duffs, Ks, dV1)
+    duffs, Ks, dV1, dV2 = ilqr_step_backward(engine, state)
+    return ilqr_step_apply(engine, config, state, duffs, Ks, dV1, dV2)
 
 
 def ilqr_step_backward(engine: StepEngine, state: StepState):
     """Phase 1: the backward Riccati pass on the current iterate.
 
-    Returns ``(duffs, Ks, dV1)`` — everything the forward phase needs."""
+    Returns ``(duffs, Ks, dV1, dV2)`` — everything the forward phase
+    needs."""
 
     return engine.backward(state.xs, state.us, state.reg)
 
 
 def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
-                    state: StepState, duffs, Ks, dV1
+                    state: StepState, duffs, Ks, dV1, dV2
                     ) -> tuple[StepState, StepAux]:
     """Phase 2: stationarity gate, line-searched forward pass, and all
     convergence/status bookkeeping, given phase 1's outputs for the SAME
@@ -131,7 +136,7 @@ def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
 
     active = jnp.logical_and(running, ~stationary)
     fxs, fus, fcost, accepted, falpha, fbts = engine.forward(
-        state.xs, state.us, duffs, Ks, state.prev_cost, active)
+        state.xs, state.us, duffs, Ks, state.prev_cost, active, dV1, dV2)
 
     du_sq = engine.du_sq(fus, state.us)
     converged = jnp.logical_or(
@@ -231,11 +236,11 @@ def make_scalar_engine(problem, x_ref, config: ILQRConfig) -> StepEngine:
 
     def backward(xs, us, reg):
         b = backward_pass(problem, xs, us, config, reg=reg)
-        return b.duffs, b.Ks, b.dV1
+        return b.duffs, b.Ks, b.dV1, b.dV2
 
-    def forward(xs, us, duffs, Ks, prev_cost, active):
+    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2):
         f = forward_pass(problem, xs, us, duffs, Ks, prev_cost, x_ref,
-                         config, active=active)
+                         config, active=active, dV1=dV1, dV2=dV2)
         return f.xs, f.us, f.cost, f.accepted, f.alpha, f.backtracks
 
     return StepEngine(

@@ -3,9 +3,10 @@ iteration on the floating-base arm — derivative sweep, Riccati backward,
 closed-loop rollout — plus the derivative sweep's internal split
 (dynamics jacobians vs cost quadratization).
 
-Runs anywhere (CPU for iteration speed, TPU for truth):
+Runs anywhere (CPU for iteration speed, TPU for truth; JAX_PLATFORMS is
+ignored where the TPU platform self-registers, hence --cpu):
 
-    JAX_PLATFORMS=cpu python scripts/profile_rbd_phases.py --batch 16 --T 50
+    python scripts/profile_rbd_phases.py --cpu --batch 16 --T 50
     python scripts/profile_rbd_phases.py --batch 256 --T 100   # chip
 """
 
@@ -40,7 +41,11 @@ def main():
     ap.add_argument("--T", type=int, default=50)
     ap.add_argument("--no-analytic", action="store_true")
     ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to the host CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     from ilqr_tpu import batched as bl
     from ilqr_tpu.config import ILQRConfig

@@ -50,3 +50,44 @@ def test_batch_mpc():
     single = mpc_run(problem, x0s[0], horizon=20, n_steps=5, config=config)
     np.testing.assert_allclose(np.asarray(result.us[0]), np.asarray(single.us),
                                atol=1e-10)
+
+
+def test_chunked_mpc_matches_and_resumes(tmp_path):
+    """batch_mpc_run_chunked equals batch_mpc_run, and a killed run
+    resumes from its checkpoint producing the identical result."""
+
+    import os
+
+    from ilqr_tpu.parallel.mpc import batch_mpc_run_chunked
+
+    problem = make_two_link_problem()
+    x0s = jnp.asarray([[0.1, -0.1, 0.0, 0.0], [0.3, 0.2, 0.0, 0.0]])
+    config = ILQRConfig(max_iter=15, tol=1e-8)
+    ref = batch_mpc_run(problem, x0s, horizon=20, n_steps=6, config=config)
+
+    # Uninterrupted chunked run == plain batched run.
+    r = batch_mpc_run_chunked(problem, x0s, horizon=20, n_steps=6,
+                              config=config, step_chunk=2)
+    np.testing.assert_allclose(np.asarray(r.us), np.asarray(ref.us),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.xs), np.asarray(ref.xs),
+                               atol=1e-10)
+
+    # "Kill" the run after 1 chunk (on_chunk aborts), then resume from the
+    # checkpoint: the completed run must equal the uninterrupted one.
+    ck = os.path.join(tmp_path, "mpc.npz")
+    partial = batch_mpc_run_chunked(problem, x0s, horizon=20, n_steps=6,
+                                    config=config, step_chunk=2,
+                                    checkpoint_path=ck,
+                                    on_chunk=lambda step: step >= 2)
+    assert os.path.exists(ck)
+    # Steps beyond the abort are zero-filled in the partial result.
+    assert float(np.abs(np.asarray(partial.us)[:, 4:]).sum()) == 0.0
+
+    resumed = batch_mpc_run_chunked(problem, x0s, horizon=20, n_steps=6,
+                                    config=config, step_chunk=2,
+                                    checkpoint_path=ck)
+    np.testing.assert_allclose(np.asarray(resumed.us), np.asarray(ref.us),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(resumed.statuses),
+                                  np.asarray(ref.statuses))

@@ -81,3 +81,75 @@ def test_analytic_jvp_vmaps():
     assert As.shape == (5, 2 * mech.nv, 2 * mech.nv)
     assert Bs.shape == (5, 2 * mech.nv, mech.nv)
     assert bool(jnp.all(jnp.isfinite(As))) and bool(jnp.all(jnp.isfinite(Bs)))
+
+
+def test_analytic_rk4_jacobians_match_jacfwd():
+    """make_rbd_dynamics_jacobians (per-stage Fx/Fu + RK4 chain rule, with
+    the tau block taken directly as M^{-1}) equals jacfwd of the full RK4
+    dynamics to rounding, at random raw states."""
+
+    from ilqr_tpu.models.rbd.model import make_rbd_dynamics_jacobians
+
+    mech = _mech()
+    dyn = make_rbd_dynamics(mech, analytic_derivatives=False)
+    jac_ref = jax.jit(jax.jacfwd(dyn, argnums=(0, 1)))
+    jac_new = jax.jit(make_rbd_dynamics_jacobians(mech))
+
+    key = jax.random.PRNGKey(3)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        x, u = _random_state(k, mech.nv)
+        A0, B0 = jac_ref(x, u)
+        A1, B1 = jac_new(x, u)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A0),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B0),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_analytic_rk4_jacobians_vmap_batch_last():
+    """The override vmaps batch-last exactly as derivatives_bl uses it."""
+
+    from ilqr_tpu.models.rbd.model import make_rbd_dynamics_jacobians
+
+    mech = _mech()
+    jac = make_rbd_dynamics_jacobians(mech)
+    jac_bl = jax.vmap(jac, in_axes=(-1, -1), out_axes=-1)
+    key = jax.random.PRNGKey(5)
+    xs = 0.2 * jax.random.normal(key, (2 * mech.nv, 4))
+    us = 0.5 * jax.random.normal(key, (mech.nv, 4))
+    As, Bs = jax.jit(jac_bl)(xs, us)
+    assert As.shape == (2 * mech.nv, 2 * mech.nv, 4)
+    assert Bs.shape == (2 * mech.nv, mech.nv, 4)
+    A0, B0 = jac(xs[:, 2], us[:, 2])
+    np.testing.assert_allclose(np.asarray(As[..., 2]), np.asarray(A0),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Bs[..., 2]), np.asarray(B0),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_rbd_problem_wires_jacobian_override():
+    """make_rbd_arm_problem exposes the analytic jacobians by default and
+    derivatives_bl produces the same local models either way."""
+
+    from ilqr_tpu import batched as bl
+    from ilqr_tpu.models.rbd.model import make_rbd_arm_problem
+    from ilqr_tpu.problem import rollout
+
+    p_ana = make_rbd_arm_problem()
+    p_ad = make_rbd_arm_problem(analytic_jacobians=False)
+    assert p_ana.dynamics_jacobians is not None
+    assert p_ad.dynamics_jacobians is None
+
+    x0 = jnp.concatenate([
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([0.5, 0.75, 1.0]),
+        jnp.zeros(2), jnp.zeros(8)])
+    us = 0.01 * jax.random.normal(jax.random.PRNGKey(0), (5, 8))
+    xs = rollout(p_ad.dynamics, x0, us)
+    xs_bl = xs[:, :, None] + jnp.zeros((1, 1, 3))
+    us_bl = us[:, :, None] + jnp.zeros((1, 1, 3))
+    m_ana = bl.derivatives_bl(p_ana, xs_bl, us_bl)
+    m_ad = bl.derivatives_bl(p_ad, xs_bl, us_bl)
+    for a, b in zip(m_ana, m_ad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)

@@ -176,3 +176,39 @@ def test_workspace_cost_solves_two_link_with_adaptive_reg():
     assert int(result.status) == int(Status.CONVERGED)
     tool_err = float(jnp.sum((tool_fk(result.xs[-1]) - target) ** 2))
     assert tool_err < 1e-4, tool_err
+
+
+def test_checkpoint_v2_named_paths_and_v1_legacy(tmp_path):
+    """v2 checkpoints key leaves by pytree PATH (robust across JAX
+    versions); v1 positional checkpoints still load; path mismatches name
+    the offending leaf."""
+
+    import pytest
+
+    state = {"xs": jnp.ones((3, 2)), "nested": {"iter": jnp.int32(4)}}
+    path = os.path.join(tmp_path, "v2.npz")
+    save_solver_state(path, state)
+
+    data = np.load(path)
+    assert int(data["__format__"]) == 2
+    assert any(k.startswith("path:") and "xs" in k for k in data.files)
+
+    # Same structure, different leaf VALUES in template: loads saved values.
+    ok = load_solver_state(path, {"xs": jnp.zeros((3, 2)),
+                                  "nested": {"iter": jnp.int32(0)}})
+    np.testing.assert_array_equal(np.asarray(ok["xs"]), np.ones((3, 2)))
+    assert int(ok["nested"]["iter"]) == 4
+
+    # A renamed key is a named error, not a silent positional mis-assign.
+    with pytest.raises(ValueError, match="renamed"):
+        load_solver_state(path, {"renamed": jnp.zeros((3, 2)),
+                                 "nested": {"iter": jnp.int32(0)}})
+
+    # Legacy v1 file (positional leaf_<i>) still loads.
+    import jax as _jax
+
+    leaves, _ = _jax.tree.flatten(state)
+    v1 = os.path.join(tmp_path, "v1.npz")
+    np.savez(v1, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    ok1 = load_solver_state(v1, state)
+    np.testing.assert_array_equal(np.asarray(ok1["xs"]), np.ones((3, 2)))
