@@ -66,7 +66,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   scan_unroll=8, derivative_chunk=0, iter_chunk=0,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
                   reg_backtrack_trigger=0, exact_ls_delta=False,
-                  snapshot_every=0):
+                  snapshot_every=0, ls_expected_decrease=False, ls_c=0.1):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -77,7 +77,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                         derivative_chunk=derivative_chunk, reg=reg,
                         reg_min=reg_min, reg_scale=reg_scale,
                         reg_backtrack_trigger=reg_backtrack_trigger,
-                        exact_ls_delta=exact_ls_delta)
+                        exact_ls_delta=exact_ls_delta,
+                        ls_expected_decrease=ls_expected_decrease, ls_c=ls_c)
     if iter_chunk > 0:
         # Host-chunked dispatches: bounded per-dispatch device time (the
         # single-dispatch RBD run at max_iter=60 died with a TPU device
@@ -249,6 +250,9 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
+    ap.add_argument("--ls-expected", action="store_true",
+                    help="expected-decrease (Tassa ratio) line-search "
+                         "acceptance (config.ls_expected_decrease)")
     ap.add_argument("--exact-delta", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="high-resolution line-search acceptance "
@@ -313,7 +317,9 @@ def main():
             # at B=512/T=1000) resumes instead of losing the run.
             snapshot_every=1,
             adaptive_reg=True, reg=1.0, reg_min=1e-3,
-            reg_scale=10.0, reg_backtrack_trigger=1)
+            reg_scale=10.0, reg_backtrack_trigger=1,
+            exact_ls_delta=bool(args.exact_delta),
+            ls_expected_decrease=args.ls_expected)
         print(json.dumps({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),

@@ -66,7 +66,16 @@ compiled = solve.lower(x0s, us0).compile()
 from jax._src import distributed  # noqa: E402
 
 client = distributed.global_state.client
-client.wait_at_barrier("scaling_ready", 600_000)
+
+
+def barrier(name):
+    # nproc == 1 runs without jax.distributed (initialize_multihost is a
+    # documented no-op there); barriers are meaningless then.
+    if client is not None:
+        client.wait_at_barrier(name, 600_000)
+
+
+barrier("scaling_ready")
 
 # Warm run (first execution initializes Gloo contexts).
 result, metrics = compiled(x0s, us0)
@@ -74,7 +83,7 @@ jax.block_until_ready(result.us)
 
 ts = []
 for r in range(repeats):
-    client.wait_at_barrier(f"scaling_rep{r}", 600_000)
+    barrier(f"scaling_rep{r}")
     t0 = time.perf_counter()
     result, metrics = compiled(x0s, us0)
     jax.block_until_ready(result.us)
