@@ -39,16 +39,18 @@ LANE = 128
 # Scalar-of-vectors small algebra (entries are [B] arrays).
 # ---------------------------------------------------------------------------
 
-def _load_mat(ref, r, c):
-    """ref block [1, r, c, Bs, 128] → list-of-lists of (Bs, 128) tiles."""
+def _load_mat_t(ref, t, r, c):
+    """ref block [tb, r, c, Bs, 128] at block-local step ``t`` →
+    list-of-lists of (Bs, 128) tiles."""
 
-    return [[ref[0, i, j, :, :] for j in range(c)] for i in range(r)]
+    return [[ref[t, i, j, :, :] for j in range(c)] for i in range(r)]
 
 
-def _load_vec(ref, r):
-    """ref block [1, r, Bs, 128] → list of (Bs, 128) tiles."""
+def _load_vec_t(ref, t, r):
+    """ref block [tb, r, Bs, 128] at block-local step ``t`` → list of
+    (Bs, 128) tiles."""
 
-    return [ref[0, i, :, :] for i in range(r)]
+    return [ref[t, i, :, :] for i in range(r)]
 
 
 def _mm(A, B_):
@@ -98,26 +100,36 @@ def _add(A, B_):
 
 def _cholesky_sov(A, reg):
     """Lower Cholesky of (A + reg I) in SoV form (Cholesky–Crout unrolled;
-    same recurrence as ops/linalg.cholesky_small)."""
+    same recurrence as ops/linalg.cholesky_small).
+
+    Returns ``(L, inv_diag)``: divides and square roots run at a fraction
+    of VPU multiply throughput and the solves below would otherwise spend
+    ~as many cycles on divides as the whole recursion spends on
+    multiply-adds, so every ``/ L[j][j]`` is precomputed once here as a
+    reciprocal (``rsqrt``: one transcendental instead of sqrt + divide)
+    and the solves are pure multiply-adds.
+    """
 
     m = len(A)
     L = [[None] * m for _ in range(m)]
+    inv_diag = [None] * m
     for j in range(m):
         s = A[j][j] + reg
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(s)
-        inv_d = 1.0 / L[j][j]
+        inv_d = jax.lax.rsqrt(s)
+        L[j][j] = s * inv_d          # == sqrt(s)
+        inv_diag[j] = inv_d
         for i in range(j + 1, m):
             s = A[i][j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
-    return L
+    return L, inv_diag
 
 
-def _cho_solve_vec(L, b):
-    """Solve (L L^T) x = b, b a SoV vector."""
+def _cho_solve_vec(L, inv_diag, b):
+    """Solve (L L^T) x = b, b a SoV vector (division-free)."""
 
     m = len(L)
     y = [None] * m
@@ -125,19 +137,19 @@ def _cho_solve_vec(L, b):
         s = b[i]
         for j in range(i):
             s = s - L[i][j] * y[j]
-        y[i] = s / L[i][i]
+        y[i] = s * inv_diag[i]
     x = [None] * m
     for i in reversed(range(m)):
         s = y[i]
         for j in range(i + 1, m):
             s = s - L[j][i] * x[j]
-        x[i] = s / L[i][i]
+        x[i] = s * inv_diag[i]
     return x
 
 
-def _cho_solve_mat(L, B_):
+def _cho_solve_mat(L, inv_diag, B_):
     cols = _transpose(B_)
-    sol_cols = [_cho_solve_vec(L, col) for col in cols]
+    sol_cols = [_cho_solve_vec(L, inv_diag, col) for col in cols]
     return _transpose(sol_cols)
 
 
@@ -148,8 +160,10 @@ def _cho_solve_mat(L, B_):
 def _riccati_kernel(A_ref, B_ref, qx_ref, ru_ref, Qxx_ref, Pux_ref, Ruu_ref,
                     QN_ref, qxN_ref, reg_ref,
                     duff_ref, K_ref, dv1_ref, dv2_ref,
-                    S_scr, s_scr, *, n, m, symmetrize):
-    i = pl.program_id(0)
+                    S_scr, s_scr, *, n, m, symmetrize, time_block):
+    # grid = (batch tiles, time blocks); time iterates fastest so the
+    # value carry in scratch is coherent per batch tile.
+    i = pl.program_id(1)
     reg = reg_ref[0, :, :]  # per-scenario Tikhonov term, (Bs, 128)
 
     # Seed the carry from the terminal quadratization on the first grid step
@@ -159,64 +173,76 @@ def _riccati_kernel(A_ref, B_ref, qx_ref, ru_ref, Qxx_ref, Pux_ref, Ruu_ref,
         S_scr[...] = QN_ref[...]
         s_scr[...] = qxN_ref[...]
 
-    A = _load_mat(A_ref, n, n)
-    Bm = _load_mat(B_ref, n, m)
-    qx = _load_vec(qx_ref, n)
-    ru = _load_vec(ru_ref, m)
-    Qxx = _load_mat(Qxx_ref, n, n)
-    Pux = _load_mat(Pux_ref, m, n)
-    Ruu = _load_mat(Ruu_ref, m, m)
+    # The grid step owns ``time_block`` consecutive timesteps (latest
+    # first): per-step compute here is a few MFLOP — far below the cost of
+    # a grid iteration + its double-buffered DMA turnaround — so blocking
+    # several steps per grid iteration amortizes that fixed overhead.
+    # Between the unrolled steps the carry lives in REGISTERS (plain
+    # values), touching the VMEM scratch only at block entry/exit.
     S = [[S_scr[a, b, :, :] for b in range(n)] for a in range(n)]
     s_vec = [s_scr[a, :, :] for a in range(n)]
 
-    BT_S = _mtm(Bm, S)                     # [m, n]
-    g = [ru[a] + x for a, x in enumerate(_mtv(Bm, s_vec))]
-    G = _add(Pux, _mm(BT_S, A))            # [m, n]
-    H = _add(Ruu, _mm(BT_S, Bm))           # [m, m]
+    for ct in reversed(range(time_block)):
+        A = _load_mat_t(A_ref, ct, n, n)
+        Bm = _load_mat_t(B_ref, ct, n, m)
+        qx = _load_vec_t(qx_ref, ct, n)
+        ru = _load_vec_t(ru_ref, ct, m)
+        Qxx = _load_mat_t(Qxx_ref, ct, n, n)
+        Pux = _load_mat_t(Pux_ref, ct, m, n)
+        Ruu = _load_mat_t(Ruu_ref, ct, m, m)
 
-    L = _cholesky_sov(H, reg)
-    duff = [-x for x in _cho_solve_vec(L, g)]
-    K = [[-x for x in row] for row in _cho_solve_mat(L, G)]
+        BT_S = _mtm(Bm, S)                     # [m, n]
+        g = [ru[a] + x for a, x in enumerate(_mtv(Bm, s_vec))]
+        G = _add(Pux, _mm(BT_S, A))            # [m, n]
+        H = _add(Ruu, _mm(BT_S, Bm))           # [m, m]
 
-    H_duff = _mv(H, duff)
-    s_new_part = _vv(duff, H_duff)
-    dv1 = _vv(duff, g)
-    KtHd = _mtv(K, H_duff)
-    Ktg = _mtv(K, g)
-    Gtd = _mtv(G, duff)
-    At_s = _mtv(A, s_vec)
-    s_next = [qx[a] + At_s[a] + KtHd[a] + Ktg[a] + Gtd[a] for a in range(n)]
+        L, inv_diag = _cholesky_sov(H, reg)
+        duff = [-x for x in _cho_solve_vec(L, inv_diag, g)]
+        K = [[-x for x in row] for row in _cho_solve_mat(L, inv_diag, G)]
 
-    SA = _mm(S, A)
-    AtSA = _mtm(A, SA)
-    HK = _mm(H, K)
-    KtHK = _mtm(K, HK)
-    KtG = _mtm(K, G)
-    GtK = _transpose(KtG)
-    S_next = [[Qxx[a][b] + AtSA[a][b] + KtHK[a][b] + KtG[a][b] + GtK[a][b]
-               for b in range(n)] for a in range(n)]
-    if symmetrize:
-        S_next = [[0.5 * (S_next[a][b] + S_next[b][a]) for b in range(n)]
+        H_duff = _mv(H, duff)
+        s_new_part = _vv(duff, H_duff)
+        dv1 = _vv(duff, g)
+        KtHd = _mtv(K, H_duff)
+        Ktg = _mtv(K, g)
+        Gtd = _mtv(G, duff)
+        At_s = _mtv(A, s_vec)
+        s_next = [qx[a] + At_s[a] + KtHd[a] + Ktg[a] + Gtd[a]
                   for a in range(n)]
 
-    # Outputs for this timestep.
-    for a in range(m):
-        duff_ref[0, a, :, :] = duff[a]
-        for b in range(n):
-            K_ref[0, a, b, :, :] = K[a][b]
-    dv1_ref[0, :, :] = dv1
-    dv2_ref[0, :, :] = 0.5 * s_new_part
+        SA = _mm(S, A)
+        AtSA = _mtm(A, SA)
+        HK = _mm(H, K)
+        KtHK = _mtm(K, HK)
+        KtG = _mtm(K, G)
+        GtK = _transpose(KtG)
+        S_next = [[Qxx[a][b] + AtSA[a][b] + KtHK[a][b] + KtG[a][b]
+                   + GtK[a][b] for b in range(n)] for a in range(n)]
+        if symmetrize:
+            S_next = [[0.5 * (S_next[a][b] + S_next[b][a])
+                       for b in range(n)] for a in range(n)]
 
-    # Carry update.
+        # Outputs for this timestep.
+        for a in range(m):
+            duff_ref[ct, a, :, :] = duff[a]
+            for b in range(n):
+                K_ref[ct, a, b, :, :] = K[a][b]
+        dv1_ref[ct, :, :] = dv1
+        dv2_ref[ct, :, :] = 0.5 * s_new_part
+
+        S, s_vec = S_next, s_next
+
+    # Carry out to scratch for the next grid step.
     for a in range(n):
-        s_scr[a, :, :] = s_next[a]
+        s_scr[a, :, :] = s_vec[a]
         for b in range(n):
-            S_scr[a, b, :, :] = S_next[a][b]
+            S_scr[a, b, :, :] = S[a][b]
 
 
 def riccati_scan_pallas_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
                            reg, symmetrize: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           time_block=None):
     """Batch-LAST entry: ``As [T, n, n, B]`` etc., ``qxN [n, B]``,
     ``QN [n, n, B]``, ``reg`` scalar or ``[B]``.  Returns batch-last
     ``(duffs [T, m, B], Ks [T, m, n, B], dv1 [B], dv2 [B])``.
@@ -245,7 +271,7 @@ def riccati_scan_pallas_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
         tile(As), tile(Bs), tile(qx), tile(ru), tile(Qxx), tile(Pux),
         tile(Ruu), tile(QN), tile(qxN), tile(reg_arr)[None],
         T=T, n=n, m=m, Bsub=Bsub, dtype=dtype,
-        symmetrize=symmetrize, interpret=interpret)
+        symmetrize=symmetrize, interpret=interpret, time_block=time_block)
 
     def untile(x):
         return x.reshape(x.shape[:-2] + (Bp,))[..., :Bt]
@@ -256,7 +282,8 @@ def riccati_scan_pallas_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
 
 def riccati_scan_pallas_batched(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
                                 reg, symmetrize: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                time_block=None):
     """Batched backward Riccati recursion in one fused kernel launch.
 
     Batch-FIRST inputs: ``As [Bt, T, n, n]``, ``Bs [Bt, T, n, m]``,
@@ -312,7 +339,7 @@ def riccati_scan_pallas_batched(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
     duffs_l, Ks_l, dv1_l, dv2_l = _riccati_pallas_call(
         A_l, B_l, qx_l, ru_l, Qxx_l, Pux_l, Ruu_l, QN_l, qxN_l, reg_l,
         T=T, n=n, m=m, Bsub=Bsub, dtype=dtype,
-        symmetrize=symmetrize, interpret=interpret)
+        symmetrize=symmetrize, interpret=interpret, time_block=time_block)
 
     def from_batch_last(x):
         # [T, ..., Bsub, 128] -> [Bt, T, ...]
@@ -326,47 +353,85 @@ def riccati_scan_pallas_batched(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
     return duffs, Ks, dv1, dv2
 
 
+def _pick_time_block(T, n, m, Bsub, itemsize=4,
+                     vmem_budget=9 * 1024 * 1024):
+    """Largest divisor of T (<= 16) whose double-buffered input+output
+    blocks fit the VMEM budget.  One timestep's streamed bytes:
+    inputs A, B, qx, ru, Qxx, Pux, Ruu + outputs duff, K, dv1, dv2."""
+
+    per_step = (  # in units of (Bsub * LANE) tiles
+        n * n + n * m + n + m + n * n + m * n + m * m   # inputs
+        + m + m * n + 2                                  # outputs
+    ) * Bsub * LANE * itemsize
+    best = 1
+    for tb in (2, 4, 8, 16):
+        if T % tb == 0 and 2 * tb * per_step <= vmem_budget:
+            best = tb
+    return best
+
+
 def _riccati_pallas_call(A_l, B_l, qx_l, ru_l, Qxx_l, Pux_l, Ruu_l,
                          QN_l, qxN_l, reg_l, *, T, n, m, Bsub, dtype,
-                         symmetrize, interpret):
+                         symmetrize, interpret, time_block=None):
     """Invoke the kernel on pre-tiled ``[T, ..., Bsub, 128]`` arrays."""
 
-    # Grid step i handles timestep t = T-1-i.
+    # Batch tiling: each grid instance works on BT sublanes (one native
+    # (8, 128) f32 vreg per SoV scalar).  At Bsub = 32 a scalar is 4 vregs
+    # and the recursion's working set (~70 input tiles + intermediates)
+    # spills registers; BT = 8 keeps every scalar a single vreg.
+    BT = min(8, Bsub)
+    assert Bsub % BT == 0, (Bsub, BT)
+    n_btiles = Bsub // BT
+
+    if time_block is None:
+        # Interpret mode (the CPU test path) executes the kernel body
+        # op-by-op: a time-blocked body is tb x the graph and becomes
+        # pathologically slow, so auto-pick only targets real Mosaic
+        # compiles.  Tests cover the blocked path via the explicit
+        # ``time_block`` override on tiny shapes.
+        time_block = 1 if interpret else _pick_time_block(T, n, m, BT)
+    tb = time_block
+    assert T % tb == 0, (T, tb)
+    n_blocks = T // tb
+
+    # Grid = (batch tiles, time blocks), time fastest: per batch tile the
+    # kernel sees timesteps [T - (i+1)*tb, T - i*tb) latest-first and the
+    # carry scratch stays coherent.  Index maps are in units of BLOCKS.
     def tmap(extra_dims):
-        def index_map(i):
-            return (T - 1 - i,) + (0,) * extra_dims
+        def index_map(b, i):
+            return (n_blocks - 1 - i,) + (0,) * (extra_dims - 2) + (b, 0)
         return index_map
 
     def cmap(extra_dims):
-        def index_map(i):
-            return (0,) * extra_dims
+        def index_map(b, i):
+            return (0,) * (extra_dims - 2) + (b, 0)
         return index_map
 
     in_specs = [
-        pl.BlockSpec((1, n, n, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, m, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, Bsub, LANE), tmap(3), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m, Bsub, LANE), tmap(3), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, n, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m, n, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m, m, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, n, Bsub, LANE), cmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, Bsub, LANE), cmap(3), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bsub, LANE), cmap(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, n, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, m, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, BT, LANE), tmap(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, m, BT, LANE), tmap(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, n, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, m, n, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, m, m, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n, BT, LANE), cmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, BT, LANE), cmap(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT, LANE), cmap(3), memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, m, Bsub, LANE), tmap(3), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m, n, Bsub, LANE), tmap(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bsub, LANE), tmap(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bsub, LANE), tmap(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, m, BT, LANE), tmap(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, m, n, BT, LANE), tmap(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, BT, LANE), tmap(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, BT, LANE), tmap(2), memory_space=pltpu.VMEM),
     ]
 
     kernel = functools.partial(_riccati_kernel, n=n, m=m,
-                               symmetrize=symmetrize)
+                               symmetrize=symmetrize, time_block=tb)
 
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(n_btiles, n_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
@@ -377,7 +442,7 @@ def _riccati_pallas_call(A_l, B_l, qx_l, ru_l, Qxx_l, Pux_l, Ruu_l,
             jax.ShapeDtypeStruct((T, Bsub, LANE), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, n, Bsub, LANE), dtype),
-            pltpu.VMEM((n, Bsub, LANE), dtype),
+            pltpu.VMEM((n, n, BT, LANE), dtype),
+            pltpu.VMEM((n, BT, LANE), dtype),
         ],
     )(A_l, B_l, qx_l, ru_l, Qxx_l, Pux_l, Ruu_l, QN_l, qxN_l, reg_l)

@@ -109,3 +109,34 @@ def test_pallas_backend_full_solve(monkeypatch):
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_array_equal(np.asarray(out.status),
                                   np.asarray(ref.status))
+
+
+def test_pallas_time_blocked_matches_scan():
+    """The multi-timestep grid-block path (time_block > 1, the production
+    Mosaic configuration at large B) produces the same recursion as
+    time_block=1 — verified on tiny shapes where interpret mode can unroll
+    the blocked kernel body quickly."""
+
+    from ilqr_tpu.ops.pallas_riccati import riccati_scan_pallas_batched
+
+    problem = make_two_link_problem()
+    B, T = 3, 8
+    As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN = _batched_models(
+        problem, B, T)
+
+    seq = jax.vmap(
+        lambda *a: riccati_scan(*a, reg=0.01, symmetrize=True)
+    )(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN)
+
+    duffs, Ks, dv1, dv2 = riccati_scan_pallas_batched(
+        As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
+        reg=0.01, symmetrize=True, interpret=True, time_block=4)
+
+    np.testing.assert_allclose(np.asarray(duffs), np.asarray(seq.duffs),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ks), np.asarray(seq.Ks),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(seq.dV1),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(seq.dV2),
+                               rtol=1e-9)
