@@ -250,6 +250,8 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
+    ap.add_argument("--ls-c", type=float, default=0.1,
+                    help="expected-decrease acceptance ratio threshold")
     ap.add_argument("--ls-expected", action="store_true",
                     help="expected-decrease (Tassa ratio) line-search "
                          "acceptance (config.ls_expected_decrease)")
@@ -319,7 +321,7 @@ def main():
             adaptive_reg=True, reg=1.0, reg_min=1e-3,
             reg_scale=10.0, reg_backtrack_trigger=1,
             exact_ls_delta=bool(args.exact_delta),
-            ls_expected_decrease=args.ls_expected)
+            ls_expected_decrease=args.ls_expected, ls_c=args.ls_c)
         print(json.dumps({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),
