@@ -66,7 +66,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   scan_unroll=8, derivative_chunk=0, iter_chunk=0,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
                   reg_backtrack_trigger=0, exact_ls_delta=False,
-                  snapshot_every=0, ls_expected_decrease=False, ls_c=0.1):
+                  snapshot_every=0, ls_expected_decrease=False, ls_c=0.1,
+                  snapshot_path=None):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -88,7 +89,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
 
         chunked = make_chunked_batch_solver(
             problem, config, iter_chunk=iter_chunk,
-            snapshot_every=snapshot_every,
+            snapshot_every=snapshot_every, snapshot_path=snapshot_path,
             on_chunk=lambda p, r: print(
                 f"[bench:batched{label}]   chunk: passes={p} running={r}",
                 file=sys.stderr) and False)
@@ -250,6 +251,10 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
+    ap.add_argument("--snapshot-path", default=None,
+                    help="persist chunk snapshots to this file and resume "
+                         "from it if present (cross-process crash "
+                         "recovery for the rbd config)")
     ap.add_argument("--ls-c", type=float, default=0.1,
                     help="expected-decrease acceptance ratio threshold")
     ap.add_argument("--ls-expected", action="store_true",
@@ -321,7 +326,8 @@ def main():
             adaptive_reg=True, reg=1.0, reg_min=1e-3,
             reg_scale=10.0, reg_backtrack_trigger=1,
             exact_ls_delta=bool(args.exact_delta),
-            ls_expected_decrease=args.ls_expected, ls_c=args.ls_c)
+            ls_expected_decrease=args.ls_expected, ls_c=args.ls_c,
+            snapshot_path=args.snapshot_path)
         print(json.dumps({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),

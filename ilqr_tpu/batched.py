@@ -310,6 +310,139 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
     return xs_b, us_b, cost_b, jnp.logical_and(accepted, active), alpha, bts
 
 
+@highest_precision
+def forward_pass_bl_parallel(problem: Problem, xs, us, duffs, Ks, prev_cost,
+                             x_ref=None,
+                             config: ILQRConfig = DEFAULT_CONFIG,
+                             active=None, dV1=None, dV2=None):
+    """Parallel-alpha line search: evaluate ``R = config.parallel_alpha_block``
+    ladder rungs per block as extra batch lanes in ONE closed-loop rollout.
+
+    Decisions are identical to :func:`forward_pass_bl` (first accepting
+    alpha in ladder order, same acceptance rules), but the serial T-step
+    rollout — latency-bound per step at long horizons — runs once per
+    block instead of once per rung.  Blocks repeat until every lane
+    accepted or ``max_backtracks`` rungs have been tried.
+    """
+
+    R = config.parallel_alpha_block
+    B = xs.shape[-1]
+    T = us.shape[0]
+    dtype = xs.dtype
+    if active is None:
+        active = jnp.ones((B,), bool)
+    use_expected = config.ls_expected_decrease and dV1 is not None
+
+    if config.exact_ls_delta:
+        steps_old, final_old = step_costs_bl(problem, xs, us, x_ref)
+
+    # Expanded-batch constants (lane index = r * B + b).
+    xs_r = jnp.tile(xs, (1, 1, R))
+    us_r = jnp.tile(us, (1, 1, R))
+    duffs_r = jnp.tile(duffs, (1, 1, R))
+    Ks_r = jnp.tile(Ks, (1, 1, 1, R))
+    n_blocks = -(-config.max_backtracks // R)
+
+    def try_block(kb):
+        """All candidates of block ``kb``: rungs kb*R ... kb*R+R-1."""
+
+        rungs = kb * R + jnp.arange(R)
+        alphas = config.alpha0 * jnp.asarray(
+            config.alpha_factor, dtype) ** rungs.astype(dtype)   # [R]
+        alpha_vec = jnp.repeat(alphas, B)                         # [R*B]
+        xs_new, us_new = closed_loop_rollout_bl(
+            problem, xs_r, us_r, duffs_r, Ks_r, alpha_vec,
+            unroll=config.scan_unroll)
+
+        if use_expected:
+            exp_impr = -(alphas[:, None] * dV1[None, :]
+                         + (alphas ** 2)[:, None] * dV2[None, :])  # [R, B]
+            thresh = config.ls_c * jnp.maximum(exp_impr, 0.0).astype(dtype)
+        else:
+            thresh = jnp.zeros((R, B), dtype)
+
+        if config.exact_ls_delta:
+            steps_new, final_new = step_costs_bl(problem, xs_new, us_new,
+                                                 x_ref)
+            cost = (jnp.sum(steps_new, axis=0)
+                    + final_new).reshape(R, B).astype(dtype)
+            delta = (jnp.sum(
+                steps_new.reshape(T, R, B)
+                - steps_old[:, None, :], axis=0)
+                + (final_new.reshape(R, B) - final_old[None, :])
+            ).astype(dtype)
+            du_step_sq = jnp.sum(
+                (us_new.reshape(T, us.shape[1], R, B)
+                 - us[:, :, None, :]) ** 2, axis=(0, 1))          # [R, B]
+            ok = jnp.logical_or(
+                jnp.logical_or(jnp.isinf(prev_cost)[None, :],
+                               -delta > thresh),
+                du_step_sq == 0)
+            ok = jnp.logical_and(ok, jnp.isfinite(cost))
+        else:
+            cost = total_cost_bl(problem, xs_new, us_new,
+                                 x_ref).reshape(R, B).astype(dtype)
+            ok = (prev_cost[None, :] - cost) > thresh
+        # Rungs past the sequential ladder's budget must not accept
+        # (parity with max_backtracks).
+        ok = jnp.logical_and(ok, (rungs < config.max_backtracks)[:, None])
+        return xs_new, us_new, cost, ok, alphas
+
+    def cond(carry):
+        kb, accepted, *_ = carry
+        return jnp.logical_and(kb < n_blocks, ~jnp.all(accepted))
+
+    def body(carry):
+        kb, accepted, bts, alpha_b, xs_b, us_b, cost_b = carry
+        xs_new, us_new, cost, ok, alphas = try_block(kb)
+        first = jnp.argmax(ok, axis=0).astype(jnp.int32)          # [B]
+        any_ok = jnp.any(ok, axis=0)
+        accept_now = jnp.logical_and(~accepted, any_ok)
+
+        def pick(x):
+            xr = x.reshape(x.shape[:-1] + (R, B))
+            idx = first.reshape((1,) * (xr.ndim - 2) + (1, B))
+            return jnp.take_along_axis(xr, idx, axis=-2)[..., 0, :]
+
+        xs_sel = pick(xs_new)
+        us_sel = pick(us_new)
+        cost_sel = jnp.take_along_axis(cost, first[None, :], axis=0)[0]
+        take = accept_now[None, None, :]
+        xs_b = jnp.where(take, xs_sel, xs_b)
+        us_b = jnp.where(take, us_sel, us_b)
+        cost_b = jnp.where(accept_now, cost_sel, cost_b)
+        alpha_b = jnp.where(accept_now,
+                            jnp.take(alphas, first), alpha_b)
+        bts = jnp.where(accept_now, kb * jnp.int32(R) + first, bts)
+        # Lanes still unaccepted have rejected every rung tried so far;
+        # they also report the fully-halved alpha, exactly as the
+        # sequential ladder's carry does on exhaustion.
+        tried = jnp.minimum((kb + 1) * jnp.int32(R),
+                            jnp.int32(config.max_backtracks))
+        settled = jnp.logical_or(accepted, accept_now)
+        bts = jnp.where(settled, bts, tried)
+        alpha_b = jnp.where(
+            settled, alpha_b,
+            config.alpha0 * jnp.asarray(config.alpha_factor, alpha_b.dtype)
+            ** tried.astype(alpha_b.dtype))
+        accepted = settled
+        return (kb + 1, accepted, bts, alpha_b, xs_b, us_b, cost_b)
+
+    init = (
+        jnp.int32(0),
+        ~active,
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), config.alpha0, dtype),
+        xs,
+        us,
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    _, accepted, bts, alpha_b, xs_b, us_b, cost_b = jax.lax.while_loop(
+        cond, body, init)
+    return (xs_b, us_b, cost_b, jnp.logical_and(accepted, active),
+            alpha_b, bts)
+
+
 def make_batch_last_engine(problem: Problem, x_ref_bl,
                            config: ILQRConfig) -> StepEngine:
     """The batch-last StepEngine: same algorithm as the per-scenario engine,
@@ -323,9 +456,10 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
         return duffs, Ks, dv1, dv2
 
     def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2):
-        return forward_pass_bl(problem, xs, us, duffs, Ks, prev_cost,
-                               x_ref_bl, config, active=active,
-                               dV1=dV1, dV2=dV2)
+        fwd = (forward_pass_bl_parallel if config.parallel_alpha_block > 0
+               else forward_pass_bl)
+        return fwd(problem, xs, us, duffs, Ks, prev_cost,
+                   x_ref_bl, config, active=active, dV1=dV1, dV2=dV2)
 
     return StepEngine(
         backward=backward,
@@ -343,6 +477,7 @@ def make_chunked_batch_solver(problem: Problem,
                               on_chunk=None,
                               snapshot_every: int = 0,
                               max_retries: int = 2,
+                              snapshot_path: str = None,
                               _fault_hook=None):
     """A host-chunked variant of :func:`batched_solve_fused`.
 
@@ -378,6 +513,16 @@ def make_chunked_batch_solver(problem: Problem,
     requires a new process), the probe's error propagates immediately
     rather than burning retries.  Costs one device→host transfer of the
     solver state per snapshot.
+
+    ``snapshot_path`` extends the resilience ACROSS processes: every host
+    snapshot is also persisted to that file
+    (:func:`ilqr_tpu.utils.checkpoint.save_solver_state`), and a fresh
+    process whose ``solve_fn`` finds the file resumes from it instead of
+    starting over — this is the recovery story for the worker-restart
+    fault that kills the in-process client outright (observed twice on
+    this hardware at B=512/T=1000): the whole run completes across
+    process restarts, losing at most ``snapshot_every`` chunks each.
+    The file is removed on successful completion.
     """
 
     x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
@@ -431,11 +576,25 @@ def make_chunked_batch_solver(problem: Problem,
         )
 
     def solve_fn(xs0, us0):
+        import os
+
         state = prepare(xs0, us0)
         n_passes = jnp.int32(0)
         snapshot = None
-        if snapshot_every > 0:
+        if snapshot_every > 0 or snapshot_path is not None:
             snapshot = (jax.device_get(state), 0)
+        if snapshot_path is not None and os.path.exists(snapshot_path):
+            # Cross-process resume: a previous process persisted its
+            # progress before dying (e.g. a TPU worker restart).
+            from ilqr_tpu.utils.checkpoint import load_solver_state
+
+            import numpy as np
+
+            template = {"state": snapshot[0], "n_passes": np.int64(0)}
+            saved = load_solver_state(snapshot_path, template)
+            state = jax.device_put(saved["state"])
+            n_passes = jnp.int32(int(saved["n_passes"]))
+            snapshot = (saved["state"], int(saved["n_passes"]))
         chunk_idx = 0
         retries = 0
         while True:
@@ -466,12 +625,24 @@ def make_chunked_batch_solver(problem: Problem,
                 continue
             retries = 0  # max_retries bounds CONSECUTIVE faults
             chunk_idx += 1
-            if snapshot_every > 0 and chunk_idx % snapshot_every == 0:
+            every = snapshot_every if snapshot_every > 0 else (
+                1 if snapshot_path is not None else 0)
+            if every and chunk_idx % every == 0:
                 snapshot = (jax.device_get(state), n_passes_h)
+                if snapshot_path is not None:
+                    from ilqr_tpu.utils.checkpoint import save_solver_state
+
+                    import numpy as np
+
+                    save_solver_state(snapshot_path, {
+                        "state": snapshot[0],
+                        "n_passes": np.int64(n_passes_h)})
             if on_chunk is not None and on_chunk(n_passes_h, n_running_h):
                 break
             if n_running_h == 0 or n_passes_h >= config.max_iter:
                 break
+        if snapshot_path is not None and os.path.exists(snapshot_path):
+            os.remove(snapshot_path)
         return finalize(state)
 
     return solve_fn

@@ -131,6 +131,17 @@ class ILQRConfig:
     # falls back to any-decrease.
     ls_expected_decrease: bool = False
     ls_c: float = 0.1
+    # Parallel-alpha line search (fused engine only): evaluate this many
+    # ladder rungs TOGETHER as extra batch lanes in one closed-loop
+    # rollout, then pick the FIRST accepting alpha per lane — decisions
+    # identical to the sequential ladder (the reference's acceptance
+    # order, src/forward_pass.jl:66-87), but the serial T-step scan runs
+    # once per BLOCK of rungs instead of once per rung.  The rollout scan
+    # is latency-bound per step at long horizons (T=1000: ~0.5 ms/step
+    # regardless of batch width), so R rungs in the batch are nearly
+    # free; blocks repeat until every lane accepts or max_backtracks is
+    # exhausted.  0 = sequential (default, bit-parity with the ladder).
+    parallel_alpha_block: int = 0
 
     def __post_init__(self):
         if self.backward_backend == "associative" and self.reg > 0.0:

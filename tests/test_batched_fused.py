@@ -211,3 +211,59 @@ def test_fused_tassa_reg_schedule():
     np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.reg), np.asarray(ref.reg))
+
+
+def test_chunked_solver_cross_process_resume(tmp_path):
+    """snapshot_path persists progress to disk; a FRESH solver (new
+    process in production — simulated here by a new solve_fn whose
+    injected fault killed the first run) resumes from the file and
+    produces the uninterrupted result.  The file is removed on success."""
+
+    import os
+
+    from ilqr_tpu.batched import make_chunked_batch_solver
+    from ilqr_tpu.models.two_link import make_two_link_problem
+    from ilqr_tpu.problem import rollout
+
+    problem = make_two_link_problem()
+    config = ILQRConfig(max_iter=12, tol=1e-14)  # runs all 12 iters
+    B, T = 4, 20
+    key = jax.random.PRNGKey(0)
+    x0s = (jnp.asarray([0.3, 0.7, 0.2, 0.5], jnp.float32)
+           + 0.1 * jax.random.normal(key, (B, 4), jnp.float32))
+    us0 = jnp.zeros((B, T, 2), jnp.float32)
+    roll = jax.vmap(lambda a, b: rollout(problem.dynamics, a, b))
+    xs0 = roll(x0s, us0)
+
+    ref = make_chunked_batch_solver(problem, config, iter_chunk=3)(xs0, us0)
+
+    snap = os.path.join(tmp_path, "solve.npz")
+
+    class Dead(Exception):
+        pass
+
+    def die_at_chunk_2(idx):
+        if idx == 1:
+            # Simulate a process-killing fault (worker restart): raise
+            # something the in-process retry does NOT handle.
+            raise Dead()
+
+    first = make_chunked_batch_solver(problem, config, iter_chunk=3,
+                                      snapshot_path=snap,
+                                      _fault_hook=die_at_chunk_2)
+    try:
+        first(xs0, us0)
+        assert False, "fault hook should have killed the first run"
+    except Dead:
+        pass
+    assert os.path.exists(snap)  # progress persisted before the crash
+
+    resumed = make_chunked_batch_solver(problem, config, iter_chunk=3,
+                                        snapshot_path=snap)(xs0, us0)
+    assert not os.path.exists(snap)  # cleaned up on success
+    np.testing.assert_array_equal(np.asarray(resumed.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(resumed.us), np.asarray(ref.us),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(resumed.iterations),
+                                  np.asarray(ref.iterations))
