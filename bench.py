@@ -67,7 +67,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
                   reg_backtrack_trigger=0, exact_ls_delta=False,
                   snapshot_every=0, ls_expected_decrease=False, ls_c=0.1,
-                  snapshot_path=None):
+                  snapshot_path=None, parallel_alpha_block=0):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -79,7 +79,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                         reg_min=reg_min, reg_scale=reg_scale,
                         reg_backtrack_trigger=reg_backtrack_trigger,
                         exact_ls_delta=exact_ls_delta,
-                        ls_expected_decrease=ls_expected_decrease, ls_c=ls_c)
+                        ls_expected_decrease=ls_expected_decrease, ls_c=ls_c,
+                        parallel_alpha_block=parallel_alpha_block)
     if iter_chunk > 0:
         # Host-chunked dispatches: bounded per-dispatch device time (the
         # single-dispatch RBD run at max_iter=60 died with a TPU device
@@ -251,6 +252,10 @@ def main():
                     help="host-chunked dispatches of at most this many "
                          "solver iterations (0 = single dispatch; rbd "
                          "defaults to 10); bounds per-dispatch device time")
+    ap.add_argument("--parallel-alpha", type=int, default=0,
+                    help="evaluate this many line-search rungs as extra "
+                         "batch lanes per rollout "
+                         "(config.parallel_alpha_block; 0 = sequential)")
     ap.add_argument("--snapshot-path", default=None,
                     help="persist chunk snapshots to this file and resume "
                          "from it if present (cross-process crash "
@@ -327,7 +332,8 @@ def main():
             reg_scale=10.0, reg_backtrack_trigger=1,
             exact_ls_delta=bool(args.exact_delta),
             ls_expected_decrease=args.ls_expected, ls_c=args.ls_c,
-            snapshot_path=args.snapshot_path)
+            snapshot_path=args.snapshot_path,
+            parallel_alpha_block=args.parallel_alpha)
         print(json.dumps({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),
