@@ -230,6 +230,208 @@ def rnea_inverse_dynamics(mech: Mechanism, q, v, a):
     return tau
 
 
+def _tree_quantities_scalar(mech: Mechanism, q):
+    """Per-body ``(Xup, S)`` in scalar-list form (see ``scalar_ops``):
+    ``Xup`` a 6x6 nested list of scalars, ``S`` a 6-row list with ``dof``
+    float columns.  Same values as :func:`_tree_quantities`."""
+
+    from ilqr_tpu.models.rbd import scalar_ops as so
+
+    qs = [q[i] for i in range(mech.nq)]
+    Xups, Ss = [], []
+    for i, joint in enumerate(mech.joints):
+        lo, hi = mech.q_slices[i]
+        R0 = so.rpy_R_static(tuple(float(x) for x in joint.origin_rpy))
+        p0 = [float(x) for x in joint.origin_xyz]
+        if joint.joint_type in ("revolute", "continuous"):
+            ax = [float(a) for a in joint.axis]
+            R = so.mm(R0, so.axis_angle_R_l(ax, qs[lo]))
+            p = p0
+            S = [[ax[0]], [ax[1]], [ax[2]], [0.0], [0.0], [0.0]]
+        elif joint.joint_type == "prismatic":
+            ax = [float(a) for a in joint.axis]
+            R = R0
+            p = [p0[k] + sum(R0[k][j] * (ax[j] * qs[lo]) for j in range(3))
+                 for k in range(3)]
+            S = [[0.0], [0.0], [0.0], [ax[0]], [ax[1]], [ax[2]]]
+        elif joint.joint_type == "fixed":
+            R, p = R0, p0
+            S = [[] for _ in range(6)]
+        elif joint.joint_type == "floating":
+            Rb = so.quat_to_R_l(qs[lo:lo + 4])
+            R = so.mm(R0, Rb)
+            p = [p0[k] + sum(R0[k][j] * qs[lo + 4 + j] for j in range(3))
+                 for k in range(3)]
+            S = [[1.0 if r == c else 0.0 for c in range(6)]
+                 for r in range(6)]
+        else:
+            raise ValueError(f"unsupported joint type {joint.joint_type}")
+        Xups.append(so.xform_from_pose_l(R, p))
+        Ss.append(S)
+    return Xups, Ss
+
+
+def _body_inertias_scalar(mech: Mechanism):
+    from ilqr_tpu.models.rbd import scalar_ops as so
+
+    return [
+        so.spatial_inertia_static(
+            float(link.mass),
+            [[float(link.inertia[a][b]) for b in range(3)]
+             for a in range(3)],
+            [float(c) for c in link.com],
+        )
+        for link in mech.links
+    ]
+
+
+def crba_mass_matrix_scalar(mech: Mechanism, q):
+    """Scalar-expression CRBA — identical values to
+    :func:`crba_mass_matrix`, one fusable DAG (no stack/scatter until the
+    final [nv, nv] assembly)."""
+
+    from ilqr_tpu.models.rbd import scalar_ops as so
+
+    Xups, Ss = _tree_quantities_scalar(mech, q)
+    Ic = list(_body_inertias_scalar(mech))
+    n = mech.n_bodies
+
+    for i in range(n - 1, -1, -1):
+        p = mech.parents[i]
+        if p >= 0:
+            XtIX = so.mm(so.mT(Xups[i]), so.mm(Ic[i], Xups[i]))
+            Ic[p] = [[Ic[p][a][b] + XtIX[a][b] for b in range(6)]
+                     for a in range(6)]
+
+    H = [[None] * n for _ in range(n)]
+    for i in range(n):
+        Si = Ss[i]
+        dof_i = len(Si[0])
+        if dof_i == 0:
+            continue
+        F = so.mm(Ic[i], Si)                      # [6, dof_i]
+        H[i][i] = so.mm(so.mT(Si), F)
+        j = i
+        while mech.parents[j] >= 0:
+            F = so.mm(so.mT(Xups[j]), F)
+            j = mech.parents[j]
+            Sj = Ss[j]
+            if len(Sj[0]) > 0:
+                H[i][j] = so.mm(so.mT(F), Sj)     # [dof_i, dof_j]
+
+    nv = mech.nv
+    zero = q[0] * 0.0
+    M = [[zero for _ in range(nv)] for _ in range(nv)]
+    for i in range(n):
+        lo_i, hi_i = mech.v_slices[i]
+        if hi_i == lo_i:
+            continue
+        for a in range(hi_i - lo_i):
+            for b in range(hi_i - lo_i):
+                M[lo_i + a][lo_i + b] = H[i][i][a][b]
+        for j in range(n):
+            if j != i and H[i][j] is not None:
+                lo_j, hi_j = mech.v_slices[j]
+                for a in range(hi_i - lo_i):
+                    for b in range(hi_j - lo_j):
+                        M[lo_i + a][lo_j + b] = H[i][j][a][b]
+                        M[lo_j + b][lo_i + a] = H[i][j][a][b]
+    return jnp.stack([jnp.stack([M[a][b] + zero for b in range(nv)])
+                      for a in range(nv)])
+
+
+def rnea_inverse_dynamics_scalar(mech: Mechanism, q, v, a):
+    """Scalar-expression RNEA — identical values to
+    :func:`rnea_inverse_dynamics` (``a = None`` gives the bias,
+    :func:`rnea_bias`)."""
+
+    from ilqr_tpu.models.rbd import scalar_ops as so
+
+    Xups, Ss = _tree_quantities_scalar(mech, q)
+    Is = _body_inertias_scalar(mech)
+    n = mech.n_bodies
+    vs_in = [v[i] for i in range(mech.nv)]
+    as_in = None if a is None else [a[i] for i in range(mech.nv)]
+
+    g = [float(x) for x in mech.gravity]
+    a_grav = [0.0, 0.0, 0.0, -g[0], -g[1], -g[2]]
+    zero = q[0] * 0.0
+
+    vs = [None] * n
+    acc = [None] * n
+    fs = [None] * n
+    for i in range(n):
+        p = mech.parents[i]
+        lo, hi = mech.v_slices[i]
+        dof = hi - lo
+        if dof:
+            vJ = [sum(Ss[i][r][c] * vs_in[lo + c] for c in range(dof))
+                  for r in range(6)]
+            aJ = ([sum(Ss[i][r][c] * as_in[lo + c] for c in range(dof))
+                   for r in range(6)] if as_in is not None else [0.0] * 6)
+        else:
+            vJ = [zero] * 6
+            aJ = [0.0] * 6
+        if p < 0:
+            vs[i] = vJ
+            acc[i] = so.vadd(so.mv(Xups[i], a_grav), aJ)
+        else:
+            vs[i] = so.vadd(so.mv(Xups[i], vs[p]), vJ)
+            acc[i] = so.vadd(so.vadd(so.mv(Xups[i], acc[p]), aJ),
+                             so.mv(so.crm_l(vs[i]), vJ))
+        Iv = so.mv(Is[i], vs[i])
+        fs[i] = so.vadd(so.mv(Is[i], acc[i]), so.mv(so.crf_l(vs[i]), Iv))
+
+    tau = [zero] * mech.nv
+    for i in range(n - 1, -1, -1):
+        lo, hi = mech.v_slices[i]
+        for c in range(hi - lo):
+            tau[lo + c] = sum(Ss[i][r][c] * fs[i][r] for r in range(6))
+        p = mech.parents[i]
+        if p >= 0:
+            fs[p] = so.vadd(fs[p], so.mv(so.mT(Xups[i]), fs[i]))
+    return jnp.stack(tau)
+
+
+def rnea_bias_scalar(mech: Mechanism, q, v):
+    """Scalar-expression bias forces (RNEA with zero acceleration)."""
+
+    return rnea_inverse_dynamics_scalar(mech, q, v, None)
+
+
+# Scalar expression DAGs trade stacking (fusion boundaries) for graph
+# size: the op count grows with the tree, and past a handful of bodies
+# the giant unstructured graph makes XLA compiles pathological (the
+# 6-DoF arm's rollout compile ran >40 min on CPU where the matrix form
+# takes seconds).  The production 2-DoF floating arm (3 moving bodies)
+# is comfortably under the threshold.
+_SCALAR_MAX_BODIES = 4
+
+
+def use_scalar_algebra(mech: Mechanism) -> bool:
+    return mech.n_bodies <= _SCALAR_MAX_BODIES
+
+
+def crba_for(mech: Mechanism, q):
+    """Size-gated CRBA: scalar DAG for small trees, matrix form beyond."""
+
+    if use_scalar_algebra(mech):
+        return crba_mass_matrix_scalar(mech, q)
+    return crba_mass_matrix(mech, q)
+
+
+def rnea_bias_for(mech: Mechanism, q, v):
+    if use_scalar_algebra(mech):
+        return rnea_bias_scalar(mech, q, v)
+    return rnea_bias(mech, q, v)
+
+
+def rnea_inverse_dynamics_for(mech: Mechanism, q, v, a):
+    if use_scalar_algebra(mech):
+        return rnea_inverse_dynamics_scalar(mech, q, v, a)
+    return rnea_inverse_dynamics(mech, q, v, a)
+
+
 def forward_dynamics(mech: Mechanism, q, v, tau):
     """``v̇ = M(q)^{-1} (tau - bias(q, v))`` via CRBA + RNEA + the unrolled
     SPD solve (the reference's ``v̇ = M \\ (-dynamics_bias + u)``,
@@ -237,8 +439,10 @@ def forward_dynamics(mech: Mechanism, q, v, tau):
 
     from ilqr_tpu.ops.linalg import solve_psd_small
 
-    M = crba_mass_matrix(mech, q)
-    bias = rnea_bias(mech, q, v)
+    # Scalar-expression algorithms for small trees (identical values,
+    # fusable DAG — see scalar_ops; equality tested in test_rbd.py).
+    M = crba_for(mech, q)
+    bias = rnea_bias_for(mech, q, v)
     return solve_psd_small(M, tau - bias)
 
 
@@ -286,14 +490,17 @@ def make_forward_dynamics_analytic_jvp(mech: Mechanism):
     def fd_jvp(primals, tangents):
         q, v, tau = primals
         dq, dv, dtau = tangents
-        M = crba_mass_matrix(mech, q)
+        M = crba_for(mech, q)
         L = cholesky_small(M)
-        bias = rnea_bias(mech, q, v)
+        bias = rnea_bias_for(mech, q, v)
         vdot = _chol_solve(L, tau - bias)
         # JVP of inverse dynamics at FIXED a = v̇ (vdot is a closure
         # constant here, so no tangent flows into the acceleration).
+        # Scalar-expression RNEA for small trees: the tangent graph is a
+        # fusable scalar DAG instead of a stack/concat-heavy one (1.8x on
+        # this sweep, BENCH.md round 4).
         _, dtau_id = jax.jvp(
-            lambda q_, v_: rnea_inverse_dynamics(mech, q_, v_, vdot),
+            lambda q_, v_: rnea_inverse_dynamics_for(mech, q_, v_, vdot),
             (q, v), (dq, dv))
         dvdot = _chol_solve(L, dtau - dtau_id)
         return vdot, dvdot

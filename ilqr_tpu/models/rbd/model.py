@@ -164,7 +164,7 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
         solve_tri_upper,
     )
 
-    from ilqr_tpu.models.rbd.dynamics import crba_mass_matrix
+    from ilqr_tpu.models.rbd.dynamics import crba_for
 
     continuous_dynamics = make_rbd_continuous_dynamics(
         mech, reference_kinematics=reference_kinematics,
@@ -190,7 +190,7 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
 
         p = x[0:3]
         q_mech = jnp.concatenate([q_from_p(p), x[3:6], x[6:6 + nj]])
-        M = crba_mass_matrix(mech, q_mech)
+        M = crba_for(mech, q_mech)
         L = cholesky_small(M)
         Minv = solve_tri_upper(jnp.swapaxes(L, -1, -2),
                                solve_tri_lower(L, jnp.eye(nv, dtype=x.dtype)))

@@ -13,7 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ilqr_tpu.models.rbd.dynamics import crba_mass_matrix, rnea_bias
+from ilqr_tpu.models.rbd.dynamics import (
+    crba_mass_matrix,
+    rnea_bias,
+    rnea_inverse_dynamics,
+)
 from ilqr_tpu.models.rbd.model import (
     TWO_DOF_ARM_URDF,
     make_rbd_arm_problem,
@@ -362,3 +366,36 @@ def test_workspace_cost_via_fk_is_differentiable(planar_mech):
     batch = jnp.stack([x, x + 0.1, x - 0.2])
     vals = jax.vmap(phi)(batch)
     assert vals.shape == (3,) and bool(jnp.all(jnp.isfinite(vals)))
+
+
+def test_scalar_algorithms_match_matrix():
+    """The scalar-expression CRBA/RNEA (scalar_ops DAG, the production hot
+    path) equal the matrix-form algorithms to rounding at arbitrary raw
+    coordinates, with and without gravity."""
+
+    from ilqr_tpu.models.rbd.dynamics import (
+        crba_mass_matrix_scalar,
+        rnea_bias_scalar,
+        rnea_inverse_dynamics_scalar,
+    )
+
+    for gravity in [(0.0, 0.0, 0.0), (0.0, 0.0, -9.81)]:
+        mech = parse_urdf(TWO_DOF_ARM_URDF, floating=True, gravity=gravity)
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            q = 0.4 * jax.random.normal(k1, (mech.nq,))
+            v = 0.4 * jax.random.normal(k2, (mech.nv,))
+            a = 0.4 * jax.random.normal(k3, (mech.nv,))
+            np.testing.assert_allclose(
+                np.asarray(crba_mass_matrix_scalar(mech, q)),
+                np.asarray(crba_mass_matrix(mech, q)),
+                rtol=1e-12, atol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(rnea_bias_scalar(mech, q, v)),
+                np.asarray(rnea_bias(mech, q, v)),
+                rtol=1e-12, atol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(rnea_inverse_dynamics_scalar(mech, q, v, a)),
+                np.asarray(rnea_inverse_dynamics(mech, q, v, a)),
+                rtol=1e-12, atol=1e-13)
