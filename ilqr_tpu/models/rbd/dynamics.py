@@ -446,6 +446,178 @@ def forward_dynamics(mech: Mechanism, q, v, tau):
     return solve_psd_small(M, tau - bias)
 
 
+def _crf_bar(m):
+    """The 6x6 matrix ``B(m)`` with ``B(m) @ d == crf(d) @ m`` for all
+    ``d`` — the force cross product re-expressed as a linear operator in
+    its FIRST argument (used to differentiate ``crf(v) I v`` w.r.t. v).
+
+    With ``crf([w; l]) = [[skew(w), skew(l)], [0, skew(w)]]`` and
+    ``skew(a) b = -skew(b) a``:
+
+        crf(d) m = [[-skew(m_ang), -skew(m_lin)], [-skew(m_lin), 0]] d
+    """
+
+    Sa = skew(m[:3])
+    Sl = skew(m[3:])
+    Z = jnp.zeros((3, 3), dtype=m.dtype)
+    return jnp.block([[-Sa, -Sl], [-Sl, Z]])
+
+
+def _joint_dX(joint, qj, dtype):
+    """``∂Xup/∂q_joint`` as a ``[6, 6, dof_q]`` tensor (closed-form via
+    jacfwd of the single joint's transform — a tiny trig/polynomial
+    function of at most 7 coordinates)."""
+
+    import jax
+
+    if joint.joint_type == "fixed" or qj.shape[0] == 0:
+        return jnp.zeros((6, 6, qj.shape[0]), dtype)
+    return jax.jacfwd(lambda qq: _joint_X_and_S(joint, qq, dtype)[0])(qj)
+
+
+def rnea_derivatives(mech: Mechanism, q, v, a):
+    """``(tau, ∂tau/∂q [nv, nq], ∂tau/∂v [nv, nv])`` of
+    :func:`rnea_inverse_dynamics` in ONE forward/backward matrix-recursion
+    sweep — the explicit analytic inverse-dynamics derivative algorithm of
+    Carpentier & Mansard ("Analytical derivatives of rigid body dynamics
+    algorithms", RSS 2018), in place of replaying the RNEA JVP over
+    nq + nv one-hot tangents.
+
+    The tangent of every per-body quantity is carried as a dense
+    ``[6, w]`` matrix over all ``w = nq + nv`` directions at once
+    (columns ``0:nq`` are q-directions, ``nq:`` are v-directions), so the
+    whole sweep is ~6 small matmuls per body instead of ``w`` replays of
+    the full recursion.  Configuration enters only through each joint's
+    ``Xup(q)`` (every supported joint's motion subspace ``S`` is constant
+    in body coordinates — including the floating joint's ``S = I``), via
+    the closed-form ``∂Xup/∂q`` of :func:`_joint_dX`.  Exactly the
+    derivative of the coded :func:`rnea_inverse_dynamics` (same root
+    special case, raw-coordinate quaternion — no chart projection), which
+    tests/test_rbd_analytic_jvp.py checks against ``jacfwd``.
+    """
+
+    dtype = q.dtype
+    Xups, Ss = _tree_quantities(mech, q, dtype)
+    Is = _body_inertias(mech, dtype)
+    n = mech.n_bodies
+    nq, nv = mech.nq, mech.nv
+    w = nq + nv
+
+    a_grav = jnp.concatenate([
+        jnp.zeros(3, dtype), -jnp.asarray(mech.gravity, dtype)])
+
+    vs: List = [None] * n
+    acc: List = [None] * n
+    fs: List = [None] * n
+    Dv: List = [None] * n
+    Da: List = [None] * n
+    Df: List = [None] * n
+
+    for i in range(n):
+        p = mech.parents[i]
+        lo, hi = mech.v_slices[i]
+        lq, hq = mech.q_slices[i]
+        Si = Ss[i]
+        dof = hi - lo
+        dX = _joint_dX(mech.joints[i], q[lq:hq], dtype)   # [6, 6, dof_q]
+
+        vJ = Si @ v[lo:hi] if dof else jnp.zeros(6, dtype)
+        aJ = Si @ a[lo:hi] if dof else jnp.zeros(6, dtype)
+
+        DvJ = jnp.zeros((6, w), dtype)
+        if dof:
+            DvJ = DvJ.at[:, nq + lo:nq + hi].set(Si)
+
+        if p < 0:
+            # Root body: v = vJ, a = Xup a_grav + aJ (a fixed ⇒ δaJ = 0).
+            vs[i] = vJ
+            acc[i] = Xups[i] @ a_grav + aJ
+            Dv[i] = DvJ
+            Da[i] = jnp.zeros((6, w), dtype)
+            if hq > lq:
+                Da[i] = Da[i].at[:, lq:hq].set(
+                    jnp.einsum("abk,b->ak", dX, a_grav))
+        else:
+            vs[i] = Xups[i] @ vs[p] + vJ
+            acc[i] = Xups[i] @ acc[p] + aJ + crm(vs[i]) @ vJ
+            Dv[i] = Xups[i] @ Dv[p] + DvJ
+            if hq > lq:
+                Dv[i] = Dv[i].at[:, lq:hq].add(
+                    jnp.einsum("abk,b->ak", dX, vs[p]))
+            # δ(crm(v_i) vJ) = -crm(vJ) δv_i + crm(v_i) S_i δν_i, with
+            # δv_i the FULL tangent (incl. this joint's δXup v_p columns).
+            Da[i] = (Xups[i] @ Da[p] - crm(vJ) @ Dv[i])
+            if dof:
+                Da[i] = Da[i].at[:, nq + lo:nq + hi].add(crm(vs[i]) @ Si)
+            if hq > lq:
+                Da[i] = Da[i].at[:, lq:hq].add(
+                    jnp.einsum("abk,b->ak", dX, acc[p]))
+
+        fs[i] = Is[i] @ acc[i] + crf(vs[i]) @ (Is[i] @ vs[i])
+        # δf = I δa + crf(δv)(I v) + crf(v) I δv.
+        Df[i] = Is[i] @ Da[i] + (
+            _crf_bar(Is[i] @ vs[i]) + crf(vs[i]) @ Is[i]) @ Dv[i]
+
+    tau = jnp.zeros(nv, dtype)
+    Dtau = jnp.zeros((nv, w), dtype)
+    for i in range(n - 1, -1, -1):
+        lo, hi = mech.v_slices[i]
+        lq, hq = mech.q_slices[i]
+        if hi > lo:
+            tau = tau.at[lo:hi].set(Ss[i].T @ fs[i])
+            Dtau = Dtau.at[lo:hi, :].set(Ss[i].T @ Df[i])
+        p = mech.parents[i]
+        if p >= 0:
+            fs[p] = fs[p] + Xups[i].T @ fs[i]
+            Dfp = Xups[i].T @ Df[i]
+            if hq > lq:
+                # δ(Xupᵀ) f = (δXup)ᵀ f — q-columns of this joint only.
+                dX = _joint_dX(mech.joints[i], q[lq:hq], dtype)
+                Dfp = Dfp.at[:, lq:hq].add(
+                    jnp.einsum("abk,a->bk", dX, fs[i]))
+            Df[p] = Df[p] + Dfp
+    return tau, Dtau[:, :nq], Dtau[:, nq:]
+
+
+def forward_dynamics_derivatives(mech: Mechanism, q, v, tau):
+    """``(v̇, ∂v̇/∂q [nv, nq], ∂v̇/∂v [nv, nv], M⁻¹ [nv, nv])`` in one
+    sweep: CRBA + ONE Cholesky + RNEA + the explicit
+    :func:`rnea_derivatives`, then the Carpentier-Mansard implicit rule
+
+        ∂v̇/∂z = -M(q)⁻¹ ∂RNEA(q, v, a)/∂z |_{a = v̇}   (z ∈ {q, v})
+        ∂v̇/∂tau = M(q)⁻¹
+
+    with every right-hand side solved against the PRIMAL factor.  The
+    ``M⁻¹`` return doubles as ``∂v̇/∂tau`` (the reference's control enters
+    only as ``tau``, RBD_helper_functions.jl:65)."""
+
+    from ilqr_tpu.ops.linalg import (
+        cholesky_small,
+        solve_tri_lower,
+        solve_tri_upper,
+    )
+
+    M = crba_for(mech, q)
+    L = cholesky_small(M)
+
+    def chol_solve(b):
+        return solve_tri_upper(jnp.swapaxes(L, -1, -2),
+                               solve_tri_lower(L, b))
+
+    bias = rnea_bias_for(mech, q, v)
+    vdot = chol_solve(tau - bias)
+    _, dtau_dq, dtau_dv = rnea_derivatives(mech, q, v, vdot)
+    nv = mech.nv
+    # One solve over all nq + nv + nv right-hand sides.
+    rhs = jnp.concatenate(
+        [dtau_dq, dtau_dv, -jnp.eye(nv, dtype=q.dtype)], axis=1)
+    sol = chol_solve(rhs)
+    dvd_dq = -sol[:, :mech.nq]
+    dvd_dv = -sol[:, mech.nq:mech.nq + nv]
+    Minv = -sol[:, mech.nq + nv:]
+    return vdot, dvd_dq, dvd_dv, Minv
+
+
 def make_forward_dynamics_analytic_jvp(mech: Mechanism):
     """Forward dynamics with the analytic derivative rule of Carpentier &
     Mansard ("Analytical derivatives of rigid body dynamics algorithms",

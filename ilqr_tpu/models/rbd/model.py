@@ -127,8 +127,89 @@ def make_rbd_dynamics(mech: Mechanism, dt: float = 0.01,
     return dynamics
 
 
+def make_rbd_stage_jacobians(mech: Mechanism,
+                             reference_kinematics: bool = False):
+    """``(f_c(x, u), ∂f_c/∂x [n, n], ∂f_c/∂u [n, m])`` of the continuous
+    dynamics in ONE explicit sweep — no tangent replay at all.
+
+    The velocity rows come from
+    :func:`ilqr_tpu.models.rbd.dynamics.forward_dynamics_derivatives`
+    (explicit Carpentier-Mansard ∂RNEA/∂q, ∂RNEA/∂v + one primal Cholesky
+    shared by the forward-dynamics solve, both derivative solves, and
+    ``∂v̇/∂u = M⁻¹``); the chart rows (MRP kinematics ``ṗ(p, ω)``, base
+    position ``ṙ``, and the MRP→quaternion jacobian ``∂quat/∂p``) are
+    closed-form jacfwd of 3-4 dimensional rational maps.  Replaces the
+    r3/r4 path that replayed the forward-dynamics JVP over all n = 2nv
+    one-hot state tangents (ROADMAP 3b / VERDICT r4 next #1).
+    """
+
+    import jax
+
+    from ilqr_tpu.models.rbd.dynamics import forward_dynamics_derivatives
+
+    nv = mech.nv
+    nj = nv - 6
+    n = 2 * nv
+
+    def stage(x, u):
+        p = x[0:3]
+        r = x[3:6]
+        theta = x[6:6 + nj]
+        vel = x[6 + nj:]
+        omega = vel[0:3]
+        v_lin = vel[3:6]
+
+        quat = q_from_p(p)
+        Jqp = jax.jacfwd(q_from_p)(p)   # [4, 3] chart jacobian
+
+        q_mech = jnp.concatenate([quat, r, theta])
+        vdot, dvd_dq, dvd_dv, Minv = forward_dynamics_derivatives(
+            mech, q_mech, vel, u)
+
+        p_dot = pdot_from_w(p, omega)
+        Jpp = jax.jacfwd(pdot_from_w, argnums=0)(p, omega)
+        Jpw = jax.jacfwd(pdot_from_w, argnums=1)(p, omega)
+
+        Z33 = jnp.zeros((3, 3), x.dtype)
+        if reference_kinematics:
+            r_dot = v_lin                       # the reference's ṙ = v quirk
+            Jrp = Z33
+            Jrv = jnp.eye(3, dtype=x.dtype)
+        else:
+            R = quat_to_rotmat(quat)
+            r_dot = R @ v_lin
+            # ∂(R(q(p)) v)/∂p via the chart chain rule.
+            Jrp = jax.jacfwd(
+                lambda pp: quat_to_rotmat(q_from_p(pp)) @ v_lin)(p)
+            Jrv = R
+        theta_dot = vel[6:]
+
+        f = jnp.concatenate([p_dot, r_dot, theta_dot, vdot])
+
+        # Assemble Fx row blocks: [ṗ; ṙ; θ̇; v̇] × [p, r, θ, ω, v, θ̇].
+        Znj = jnp.zeros((3, nj), x.dtype)
+        row_p = jnp.concatenate(
+            [Jpp, Z33, Znj, Jpw, Z33, Znj], axis=1)
+        row_r = jnp.concatenate(
+            [Jrp, Z33, Znj, Z33, Jrv, Znj], axis=1)
+        row_t = jnp.concatenate(
+            [jnp.zeros((nj, nv + 6), x.dtype), jnp.eye(nj, dtype=x.dtype)],
+            axis=1)
+        # v̇ rows: ∂v̇/∂p = ∂v̇/∂quat · ∂quat/∂p; r, θ map straight through.
+        row_v = jnp.concatenate(
+            [dvd_dq[:, :4] @ Jqp, dvd_dq[:, 4:7], dvd_dq[:, 7:7 + nj],
+             dvd_dv], axis=1)
+        Fx = jnp.concatenate([row_p, row_r, row_t, row_v], axis=0)
+
+        Fu = jnp.concatenate([jnp.zeros((nv, nv), x.dtype), Minv], axis=0)
+        return f, Fx, Fu
+
+    return stage
+
+
 def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
-                                reference_kinematics: bool = False):
+                                reference_kinematics: bool = False,
+                                explicit_derivatives: bool = True):
     """Analytic ``(A, B) = (∂x'/∂x, ∂x'/∂u)`` of the RK4 step — the custom
     ``Problem.dynamics_jacobians`` override for the RBD model.
 
@@ -139,14 +220,14 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
     zero work is still computed.  This closure instead builds per-stage
     Jacobians and composes them with the RK4 chain rule:
 
-    * ``Fx`` (stage, [n, n]): one ``jvp`` sweep over the n state basis
-      vectors only (through the Carpentier-Mansard analytic forward-
-      dynamics JVP, which differentiates RNEA at fixed acceleration and
-      reuses the primal Cholesky factor);
-    * ``Fu`` (stage, [n, m]): the control enters only as ``τ`` in
-      ``v̇ = M(q)^{-1}(τ - bias)``, so ``∂f_c/∂u = [0; M(q)^{-1}]``
-      directly — one CRBA + Cholesky + nv triangular solves instead of
-      m tangent RNEA-JVPs per stage;
+    * per stage, ``(f_c, Fx [n, n], Fu [n, m])`` from
+      :func:`make_rbd_stage_jacobians` — the explicit Carpentier-Mansard
+      ∂RNEA/∂q, ∂RNEA/∂v matrix-recursion sweep (one pass producing every
+      partial, sharing the primal Cholesky factor with the forward-
+      dynamics solve and with ``Fu = [0; M⁻¹]``); with
+      ``explicit_derivatives=False``, the r4 path (one ``jvp`` replay per
+      state basis vector through the analytic fd-JVP) — kept for A/B and
+      the equivalence test;
     * chain rule: ``K1x = dt·F1x``, ``K2x = dt·F2x (I + K1x/2)``,
       ``K3x = dt·F3x (I + K2x/2)``, ``K4x = dt·F4x (I + K3x)``,
       ``A = I + (K1x + 2K2x + 2K3x + K4x)/6`` (and the matching ``u``
@@ -158,60 +239,66 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
     it in tests/test_rbd_analytic_jvp.py.
     """
 
-    from ilqr_tpu.ops.linalg import (
-        cholesky_small,
-        solve_tri_lower,
-        solve_tri_upper,
-    )
-
-    from ilqr_tpu.models.rbd.dynamics import crba_for
-
-    continuous_dynamics = make_rbd_continuous_dynamics(
-        mech, reference_kinematics=reference_kinematics,
-        analytic_derivatives=True)
-
     nv = mech.nv
     nj = nv - 6
     n = 2 * nv
 
-    def stage_val_and_fx(x, u):
-        """``(f_c(x, u), ∂f_c/∂x [n, n])`` in one n-tangent sweep (the
-        primal is shared across tangents by vmap, computed once)."""
+    if explicit_derivatives:
+        stage_all = make_rbd_stage_jacobians(
+            mech, reference_kinematics=reference_kinematics)
+    else:
+        from ilqr_tpu.ops.linalg import (
+            cholesky_small,
+            solve_tri_lower,
+            solve_tri_upper,
+        )
 
-        def jvp_one(v):
-            return jax.jvp(lambda xx: continuous_dynamics(xx, u), (x,), (v,))
+        from ilqr_tpu.models.rbd.dynamics import crba_for
 
-        basis = jnp.eye(n, dtype=x.dtype)
-        val, rows = jax.vmap(jvp_one, out_axes=(None, 0))(basis)
-        return val, rows.T    # rows are ∂f/∂x · e_i → columns of Fx
+        continuous_dynamics = make_rbd_continuous_dynamics(
+            mech, reference_kinematics=reference_kinematics,
+            analytic_derivatives=True)
 
-    def stage_fu(x):
-        """``∂f_c/∂u = [0; M(q)^{-1}] [n, m]`` (chart rows never see u)."""
+        def stage_val_and_fx(x, u):
+            """``(f_c(x, u), ∂f_c/∂x [n, n])`` in one n-tangent sweep (the
+            primal is shared across tangents by vmap, computed once)."""
 
-        p = x[0:3]
-        q_mech = jnp.concatenate([q_from_p(p), x[3:6], x[6:6 + nj]])
-        M = crba_for(mech, q_mech)
-        L = cholesky_small(M)
-        Minv = solve_tri_upper(jnp.swapaxes(L, -1, -2),
-                               solve_tri_lower(L, jnp.eye(nv, dtype=x.dtype)))
-        return jnp.concatenate(
-            [jnp.zeros((nv, nv), x.dtype), Minv], axis=0)
+            def jvp_one(v):
+                return jax.jvp(lambda xx: continuous_dynamics(xx, u),
+                               (x,), (v,))
+
+            basis = jnp.eye(n, dtype=x.dtype)
+            val, rows = jax.vmap(jvp_one, out_axes=(None, 0))(basis)
+            return val, rows.T   # rows are ∂f/∂x · e_i → columns of Fx
+
+        def stage_fu(x):
+            """``∂f_c/∂u = [0; M(q)^{-1}] [n, m]`` (chart rows never see
+            u)."""
+
+            p = x[0:3]
+            q_mech = jnp.concatenate([q_from_p(p), x[3:6], x[6:6 + nj]])
+            M = crba_for(mech, q_mech)
+            L = cholesky_small(M)
+            Minv = solve_tri_upper(
+                jnp.swapaxes(L, -1, -2),
+                solve_tri_lower(L, jnp.eye(nv, dtype=x.dtype)))
+            return jnp.concatenate(
+                [jnp.zeros((nv, nv), x.dtype), Minv], axis=0)
+
+        def stage_all(x, u):
+            f, Fx = stage_val_and_fx(x, u)
+            return f, Fx, stage_fu(x)
 
     def dynamics_jacobians(x, u):
         eye = jnp.eye(n, dtype=x.dtype)
 
-        f1, F1 = stage_val_and_fx(x, u)
+        f1, F1, G1 = stage_all(x, u)
         x2 = x + dt * f1 / 2.0
-        f2, F2 = stage_val_and_fx(x2, u)
+        f2, F2, G2 = stage_all(x2, u)
         x3 = x + dt * f2 / 2.0
-        f3, F3 = stage_val_and_fx(x3, u)
+        f3, F3, G3 = stage_all(x3, u)
         x4 = x + dt * f3
-        _f4, F4 = stage_val_and_fx(x4, u)
-
-        G1 = stage_fu(x)
-        G2 = stage_fu(x2)
-        G3 = stage_fu(x3)
-        G4 = stage_fu(x4)
+        _f4, F4, G4 = stage_all(x4, u)
 
         K1x = dt * F1
         K2x = dt * (F2 @ (eye + K1x / 2.0))
@@ -235,7 +322,8 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
                          terminal_weight: float = 1e5,
                          reference_kinematics: bool = False,
                          analytic_derivatives: bool = True,
-                         analytic_jacobians: bool = True) -> Problem:
+                         analytic_jacobians: bool = True,
+                         explicit_derivatives: bool = True) -> Problem:
     """The reference's floating-base 2-DoF arm swing-up
     (animate_RBD_2_link.jl:8-10 + RBD_helper_functions.jl:85-116):
     zero gravity, pose target [MRP(3), position(3), joints(2)], diagonal
@@ -254,7 +342,8 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
                                  reference_kinematics=reference_kinematics,
                                  analytic_derivatives=analytic_derivatives)
     jacobians = (make_rbd_dynamics_jacobians(
-        mech, dt=dt, reference_kinematics=reference_kinematics)
+        mech, dt=dt, reference_kinematics=reference_kinematics,
+        explicit_derivatives=explicit_derivatives)
         if analytic_jacobians else None)
 
     # Diagonal weights from RBD_helper_functions.jl:88-116.

@@ -51,6 +51,7 @@ def main():
     n, m = 16, 8
     dtype = jnp.float32
     p_cust = make_rbd_arm_problem()
+    p_jvp = make_rbd_arm_problem(explicit_derivatives=False)
     p_ad = make_rbd_arm_problem(analytic_jacobians=False)
     p_plain = make_rbd_arm_problem(analytic_jacobians=False,
                                    analytic_derivatives=False)
@@ -84,7 +85,9 @@ def main():
             return jax.lax.fori_loop(0, REPS, body, xs)
         return run
 
-    bench("derivatives_bl, custom jacobians", deriv_chain(p_cust))
+    bench("derivatives_bl, explicit dRNEA (r5)", deriv_chain(p_cust))
+    bench("derivatives_bl, custom jacobians (JVP replay)",
+          deriv_chain(p_jvp))
     bench("derivatives_bl, jacfwd + analytic JVP", deriv_chain(p_ad))
     bench("derivatives_bl, plain AD", deriv_chain(p_plain))
 
@@ -104,7 +107,8 @@ def main():
             return jax.lax.fori_loop(0, REPS, body, xs)
         return run
 
-    bench("dyn jacobians only, custom", jac_chain(p_cust))
+    bench("dyn jacobians only, explicit dRNEA (r5)", jac_chain(p_cust))
+    bench("dyn jacobians only, custom (JVP replay)", jac_chain(p_jvp))
     bench("dyn jacobians only, jacfwd+JVP", jac_chain(p_ad))
 
     def riccati_chain(xs, us):

@@ -153,3 +153,91 @@ def test_rbd_problem_wires_jacobian_override():
     for a, b in zip(m_ana, m_ad):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_rnea_derivatives_match_jacfwd():
+    """The explicit Carpentier-Mansard one-sweep ∂RNEA/∂q, ∂RNEA/∂v matrix
+    recursion equals jacfwd of the coded RNEA to rounding — on the
+    floating-base 2-DoF arm AND the 6-DoF arm (fixed and floating base),
+    with gravity on (the scalar-DAG r4 path was gated to <=4 bodies; this
+    algorithm has no such gate)."""
+
+    from ilqr_tpu.models.rbd.dynamics import rnea_derivatives
+    import os
+
+    assets = os.path.dirname(TWO_DOF_ARM_URDF)
+    cases = [
+        (TWO_DOF_ARM_URDF, True),
+        (os.path.join(assets, "6Dof_arm.urdf"), False),
+        (os.path.join(assets, "6Dof_arm.urdf"), True),
+    ]
+    key = jax.random.PRNGKey(7)
+    for urdf, floating in cases:
+        mech = parse_urdf(urdf, floating=floating, gravity=(0.0, 0.0, -9.81))
+        kq, kv, ka, key = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (mech.nq,), jnp.float64)
+        v = jax.random.normal(kv, (mech.nv,), jnp.float64)
+        a = jax.random.normal(ka, (mech.nv,), jnp.float64)
+        tau, dq, dv = rnea_derivatives(mech, q, v, a)
+        np.testing.assert_allclose(
+            np.asarray(tau), np.asarray(rnea_inverse_dynamics(mech, q, v, a)),
+            rtol=1e-12, atol=1e-12)
+        Jq = jax.jacfwd(
+            lambda qq: rnea_inverse_dynamics(mech, qq, v, a))(q)
+        Jv = jax.jacfwd(
+            lambda vv: rnea_inverse_dynamics(mech, q, vv, a))(v)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(Jq),
+                                   rtol=1e-10, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(Jv),
+                                   rtol=1e-10, atol=1e-11)
+
+
+def test_forward_dynamics_derivatives_match_jacfwd():
+    """One-sweep forward-dynamics partials (implicit rule against the
+    primal Cholesky factor) == jacfwd of forward_dynamics."""
+
+    from ilqr_tpu.models.rbd.dynamics import (
+        forward_dynamics,
+        forward_dynamics_derivatives,
+    )
+
+    mech = _mech()
+    key = jax.random.PRNGKey(8)
+    kq, kv, kt = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (mech.nq,), jnp.float64)
+    v = jax.random.normal(kv, (mech.nv,), jnp.float64)
+    tau = jax.random.normal(kt, (mech.nv,), jnp.float64)
+    vd, dq, dv, Minv = forward_dynamics_derivatives(mech, q, v, tau)
+    np.testing.assert_allclose(
+        np.asarray(vd), np.asarray(forward_dynamics(mech, q, v, tau)),
+        rtol=1e-12, atol=1e-12)
+    Jq = jax.jacfwd(lambda qq: forward_dynamics(mech, qq, v, tau))(q)
+    Jv = jax.jacfwd(lambda vv: forward_dynamics(mech, q, vv, tau))(v)
+    Jt = jax.jacfwd(lambda tt: forward_dynamics(mech, q, v, tt))(tau)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(Jq),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(Jv),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Minv), np.asarray(Jt),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_explicit_vs_jvp_replay_rk4_jacobians():
+    """explicit_derivatives=True (r5 one-sweep) and False (r4 16-tangent
+    JVP replay) produce identical RK4 jacobians to rounding."""
+
+    from ilqr_tpu.models.rbd.model import make_rbd_dynamics_jacobians
+
+    mech = _mech()
+    for refkin in (False, True):
+        jac_new = make_rbd_dynamics_jacobians(
+            mech, reference_kinematics=refkin, explicit_derivatives=True)
+        jac_old = make_rbd_dynamics_jacobians(
+            mech, reference_kinematics=refkin, explicit_derivatives=False)
+        x, u = _random_state(jax.random.PRNGKey(11), mech.nv)
+        A1, B1 = jac_new(x, u)
+        A0, B0 = jac_old(x, u)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A0),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B0),
+                                   rtol=1e-11, atol=1e-13)
