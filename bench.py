@@ -90,7 +90,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   reg=1e-2, reg_min=1e-6, reg_scale=10.0,
                   reg_backtrack_trigger=0, exact_ls_delta=False,
                   snapshot_every=0, ls_expected_decrease=False, ls_c=0.1,
-                  snapshot_path=None, parallel_alpha_block=0):
+                  snapshot_path=None, parallel_alpha_block=0,
+                  compact_sizes=()):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -114,6 +115,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
         chunked = make_chunked_batch_solver(
             problem, config, iter_chunk=iter_chunk,
             snapshot_every=snapshot_every, snapshot_path=snapshot_path,
+            compact_sizes=compact_sizes,
             on_chunk=lambda p, r: print(
                 f"[bench:batched{label}]   chunk: passes={p} running={r}",
                 file=sys.stderr) and False)
@@ -279,6 +281,10 @@ def main():
                     help="evaluate this many line-search rungs as extra "
                          "batch lanes per rollout "
                          "(config.parallel_alpha_block; 0 = sequential)")
+    ap.add_argument("--compact", default="",
+                    help="comma-separated straggler-compaction lane counts "
+                         "for the chunked rbd config, e.g. '128,32' "
+                         "(see make_chunked_batch_solver compact_sizes)")
     ap.add_argument("--snapshot-path", default=None,
                     help="persist chunk snapshots to this file and resume "
                          "from it if present (cross-process crash "
@@ -356,7 +362,9 @@ def main():
             exact_ls_delta=bool(args.exact_delta),
             ls_expected_decrease=args.ls_expected, ls_c=args.ls_c,
             snapshot_path=args.snapshot_path,
-            parallel_alpha_block=args.parallel_alpha)
+            parallel_alpha_block=args.parallel_alpha,
+            compact_sizes=tuple(int(s) for s in args.compact.split(",")
+                                if s.strip()))
         _emit(dict({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),

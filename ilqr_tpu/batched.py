@@ -470,6 +470,18 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
     )
 
 
+def _scatter_lanes(full, cur, idx):
+    """numpy write-back of batch-last lanes: ``full[..., idx] = cur``.
+    ``idx`` may contain duplicates (compaction pad lanes) — they carry
+    identical values, so last-write-wins is correct."""
+
+    import numpy as np
+
+    out = np.array(full)
+    out[..., idx] = cur
+    return out
+
+
 def make_chunked_batch_solver(problem: Problem,
                               config: ILQRConfig = DEFAULT_CONFIG,
                               iter_chunk: int = 10,
@@ -478,6 +490,7 @@ def make_chunked_batch_solver(problem: Problem,
                               snapshot_every: int = 0,
                               max_retries: int = 2,
                               snapshot_path: str = None,
+                              compact_sizes=(),
                               _fault_hook=None):
     """A host-chunked variant of :func:`batched_solve_fused`.
 
@@ -523,6 +536,20 @@ def make_chunked_batch_solver(problem: Problem,
     this hardware at B=512/T=1000): the whole run completes across
     process restarts, losing at most ``snapshot_every`` chunks each.
     The file is removed on successful completion.
+
+    ``compact_sizes`` (descending lane counts, e.g. ``(128, 32)``) turns on
+    STRAGGLER COMPACTION: once the number of RUNNING lanes fits a listed
+    size, finished lanes are written back to a host-side copy of the full
+    batch and the solve continues with only the stragglers, gathered into
+    a smaller batch-last program.  At reference RBD scale ~10% of lanes
+    hit 40+ extra iterations (BENCH.md round 4: 55 of 100 full-batch
+    passes serviced <=26/256 lanes); compaction makes those tail passes
+    pay for the lanes that need them, and makes deep tail runs
+    (``max_iter`` 500+, VERDICT r4 next #2) affordable.  Each listed size
+    compiles its own chunk program (one extra compile per size — keep the
+    list short).  The step body is per-lane, so compaction changes results
+    only by compiled-program rounding (tested equal on CPU, where programs
+    of different batch shapes produce identical lane arithmetic).
     """
 
     x_ref_bl = None if x_ref is None else jnp.moveaxis(x_ref, 0, -1)
@@ -578,9 +605,29 @@ def make_chunked_batch_solver(problem: Problem,
     def solve_fn(xs0, us0):
         import os
 
+        import numpy as np
+
         state = prepare(xs0, us0)
         n_passes = jnp.int32(0)
         snapshot = None
+        # Straggler-compaction bookkeeping: ``full_host`` holds the
+        # finished lanes of the ORIGINAL batch (numpy pytree), ``cur_idx``
+        # maps each current device lane to its original index.  None ⇔
+        # the device state is still the full batch.
+        full_host = None
+        cur_idx = None
+        sizes = tuple(sorted(set(int(s) for s in compact_sizes),
+                             reverse=True))
+
+        def merge_full(host_state):
+            """Scatter the current (possibly compacted) host state back
+            into the full-batch copy; returns the full pytree."""
+
+            if full_host is None:
+                return host_state
+            return jax.tree.map(
+                lambda full, cur: _scatter_lanes(full, cur, cur_idx),
+                full_host, host_state)
         if snapshot_every > 0 or snapshot_path is not None:
             snapshot = (jax.device_get(state), 0)
         if snapshot_path is not None and os.path.exists(snapshot_path):
@@ -620,6 +667,10 @@ def make_chunked_batch_solver(problem: Problem,
                 # recompile (served from the persistent compilation cache).
                 run_chunk.clear_cache()
                 host_state, n_passes_h = snapshot
+                # Snapshots always hold the merged FULL batch; restoring
+                # one resets any compaction (the next chunks re-compact).
+                full_host = None
+                cur_idx = None
                 state = jax.device_put(host_state)
                 n_passes = jnp.int32(n_passes_h)
                 continue
@@ -628,7 +679,7 @@ def make_chunked_batch_solver(problem: Problem,
             every = snapshot_every if snapshot_every > 0 else (
                 1 if snapshot_path is not None else 0)
             if every and chunk_idx % every == 0:
-                snapshot = (jax.device_get(state), n_passes_h)
+                snapshot = (merge_full(jax.device_get(state)), n_passes_h)
                 if snapshot_path is not None:
                     from ilqr_tpu.utils.checkpoint import save_solver_state
 
@@ -641,8 +692,30 @@ def make_chunked_batch_solver(problem: Problem,
                 break
             if n_running_h == 0 or n_passes_h >= config.max_iter:
                 break
+            if sizes and n_running_h > 0:
+                cur_B = int(state.status.shape[-1])
+                # Smallest listed size that still fits the stragglers and
+                # shrinks the batch.
+                fits = [s for s in sizes if n_running_h <= s < cur_B]
+                if fits:
+                    target = fits[-1]
+                    host_state = jax.device_get(state)
+                    full_host = merge_full(host_state)
+                    if cur_idx is None:
+                        cur_idx = np.arange(cur_B)
+                    status = np.asarray(host_state.status)
+                    running = np.flatnonzero(
+                        status == int(Status.RUNNING))
+                    done = np.flatnonzero(status != int(Status.RUNNING))
+                    pad = done[:target - running.size]
+                    local_sel = np.concatenate([running, pad])
+                    state = jax.device_put(jax.tree.map(
+                        lambda a: a[..., local_sel], host_state))
+                    cur_idx = cur_idx[local_sel]
         if snapshot_path is not None and os.path.exists(snapshot_path):
             os.remove(snapshot_path)
+        if full_host is not None:
+            state = jax.device_put(merge_full(jax.device_get(state)))
         return finalize(state)
 
     return solve_fn

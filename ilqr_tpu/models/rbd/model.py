@@ -209,7 +209,7 @@ def make_rbd_stage_jacobians(mech: Mechanism,
 
 def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
                                 reference_kinematics: bool = False,
-                                explicit_derivatives: bool = True):
+                                explicit_derivatives=None):
     """Analytic ``(A, B) = (∂x'/∂x, ∂x'/∂u)`` of the RK4 step — the custom
     ``Problem.dynamics_jacobians`` override for the RBD model.
 
@@ -242,6 +242,16 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
     nv = mech.nv
     nj = nv - 6
     n = 2 * nv
+
+    if explicit_derivatives is None:
+        # Measured on-chip (BENCH.md round 5): for small trees the scalar-
+        # expression RNEA tangent DAG replayed per basis vector is the
+        # faster sweep (one wide fused elementwise program); the explicit
+        # matrix recursion wins where scalar algebra is gated off
+        # (> 4 bodies) and compiles ~5x faster everywhere.
+        from ilqr_tpu.models.rbd.dynamics import use_scalar_algebra
+
+        explicit_derivatives = not use_scalar_algebra(mech)
 
     if explicit_derivatives:
         stage_all = make_rbd_stage_jacobians(
@@ -323,7 +333,7 @@ def make_rbd_arm_problem(target_pose: Optional[Sequence[float]] = None,
                          reference_kinematics: bool = False,
                          analytic_derivatives: bool = True,
                          analytic_jacobians: bool = True,
-                         explicit_derivatives: bool = True) -> Problem:
+                         explicit_derivatives=None) -> Problem:
     """The reference's floating-base 2-DoF arm swing-up
     (animate_RBD_2_link.jl:8-10 + RBD_helper_functions.jl:85-116):
     zero gravity, pose target [MRP(3), position(3), joints(2)], diagonal

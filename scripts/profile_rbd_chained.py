@@ -50,7 +50,7 @@ def main():
     T, B = args.T, args.batch
     n, m = 16, 8
     dtype = jnp.float32
-    p_cust = make_rbd_arm_problem()
+    p_cust = make_rbd_arm_problem(explicit_derivatives=True)
     p_jvp = make_rbd_arm_problem(explicit_derivatives=False)
     p_ad = make_rbd_arm_problem(analytic_jacobians=False)
     p_plain = make_rbd_arm_problem(analytic_jacobians=False,
