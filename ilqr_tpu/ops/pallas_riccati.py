@@ -242,7 +242,7 @@ def _riccati_kernel(A_ref, B_ref, qx_ref, ru_ref, Qxx_ref, Pux_ref, Ruu_ref,
 def riccati_scan_pallas_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
                            reg, symmetrize: bool = True,
                            interpret: bool = False,
-                           time_block=None):
+                           time_block=None, batch_sublanes=None):
     """Batch-LAST entry: ``As [T, n, n, B]`` etc., ``qxN [n, B]``,
     ``QN [n, n, B]``, ``reg`` scalar or ``[B]``.  Returns batch-last
     ``(duffs [T, m, B], Ks [T, m, n, B], dv1 [B], dv2 [B])``.
@@ -271,7 +271,8 @@ def riccati_scan_pallas_bl(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
         tile(As), tile(Bs), tile(qx), tile(ru), tile(Qxx), tile(Pux),
         tile(Ruu), tile(QN), tile(qxN), tile(reg_arr)[None],
         T=T, n=n, m=m, Bsub=Bsub, dtype=dtype,
-        symmetrize=symmetrize, interpret=interpret, time_block=time_block)
+        symmetrize=symmetrize, interpret=interpret, time_block=time_block,
+        batch_sublanes=batch_sublanes)
 
     def untile(x):
         return x.reshape(x.shape[:-2] + (Bp,))[..., :Bt]
@@ -372,14 +373,18 @@ def _pick_time_block(T, n, m, Bsub, itemsize=4,
 
 def _riccati_pallas_call(A_l, B_l, qx_l, ru_l, Qxx_l, Pux_l, Ruu_l,
                          QN_l, qxN_l, reg_l, *, T, n, m, Bsub, dtype,
-                         symmetrize, interpret, time_block=None):
+                         symmetrize, interpret, time_block=None,
+                         batch_sublanes=None):
     """Invoke the kernel on pre-tiled ``[T, ..., Bsub, 128]`` arrays."""
 
     # Batch tiling: each grid instance works on BT sublanes (one native
     # (8, 128) f32 vreg per SoV scalar).  At Bsub = 32 a scalar is 4 vregs
     # and the recursion's working set (~70 input tiles + intermediates)
     # spills registers; BT = 8 keeps every scalar a single vreg.
-    BT = min(8, Bsub)
+    # ``batch_sublanes`` overrides for the interleaved-recursions
+    # experiment (BT = 16 -> every SoV op is two independent vreg
+    # instructions, round-robining two dependency chains per instance).
+    BT = min(batch_sublanes or 8, Bsub)
     assert Bsub % BT == 0, (Bsub, BT)
     n_btiles = Bsub // BT
 
