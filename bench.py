@@ -224,20 +224,32 @@ def bench_mpc(horizon=50, n_steps=50, dtype=jnp.float32):
     return per_replan
 
 
-def bench_mpc_batch(batch=1024, horizon=50, n_steps=50, dtype=jnp.float32):
+def bench_mpc_batch(batch=1024, horizon=50, n_steps=50, dtype=jnp.float32,
+                    problem_name="two_link"):
     """Config 5 single-chip slice: a fleet of MPC scenarios replanning in
-    lock-step; reports wall-clock per replan step for the whole batch."""
+    lock-step; reports wall-clock per replan step for the whole batch.
+    ``problem_name="rbd"`` runs the floating-base arm fleet (VERDICT r4
+    next #8) with the solver setup that converges on the stiff RBD
+    problem (Tassa reg escalation, scan_unroll=1)."""
 
     from ilqr_tpu.config import ILQRConfig
     from ilqr_tpu.parallel.mpc import batch_mpc_run
-    from ilqr_tpu.models.two_link import make_two_link_problem
 
-    problem = make_two_link_problem()
-    config = ILQRConfig(max_iter=10, tol=1e-5, tol_grad=1e-10,
-                        tol_grad_rel=1e-6)
+    problem, nominal, n, m = _make_problem(problem_name)
+    if problem_name == "rbd":
+        config = ILQRConfig(max_iter=10, tol=1e-5, tol_grad=1e-10,
+                            tol_grad_rel=1e-6, adaptive_reg=True, reg=1.0,
+                            reg_min=1e-3, reg_scale=10.0,
+                            reg_backtrack_trigger=1, scan_unroll=1)
+        scale = jnp.asarray([0.02] * 3 + [0.05] * (n // 2 - 3)
+                            + [0.0] * (n // 2), dtype)
+    else:
+        config = ILQRConfig(max_iter=10, tol=1e-5, tol_grad=1e-10,
+                            tol_grad_rel=1e-6)
+        nominal = jnp.asarray([0.1, -0.1, 0.0, 0.0], dtype)
+        scale = 0.1
     key = jax.random.PRNGKey(0)
-    nominal = jnp.asarray([0.1, -0.1, 0.0, 0.0], dtype)
-    x0s = nominal + 0.1 * jax.random.normal(key, (batch, 4), dtype)
+    x0s = nominal + scale * jax.random.normal(key, (batch, n), dtype)
     f = jax.jit(lambda x: batch_mpc_run(problem, x, horizon, n_steps, config))
     t0 = time.perf_counter()
     r = jax.block_until_ready(f(x0s))
@@ -245,7 +257,8 @@ def bench_mpc_batch(batch=1024, horizon=50, n_steps=50, dtype=jnp.float32):
     best, r = _time(f, x0s, repeats=2)
     per_replan = best / n_steps
     mean_iters = float(jnp.mean(r.iterations.astype(jnp.float32)))
-    print(f"[bench:mpc_batch] batch={batch} horizon={horizon} "
+    print(f"[bench:mpc_batch problem={problem_name}] batch={batch} "
+          f"horizon={horizon} "
           f"n_steps={n_steps} compile={compile_s:.1f}s "
           f"total={best*1e3:.1f}ms per_replan={per_replan*1e3:.2f}ms "
           f"scenario_replans_per_s={batch*n_steps/best:.0f} "
@@ -281,6 +294,9 @@ def main():
                     help="evaluate this many line-search rungs as extra "
                          "batch lanes per rollout "
                          "(config.parallel_alpha_block; 0 = sequential)")
+    ap.add_argument("--problem", default="two_link",
+                    choices=["two_link", "rbd"],
+                    help="model for the mpc_batch config")
     ap.add_argument("--compact", default="",
                     help="comma-separated straggler-compaction lane counts "
                          "for the chunked rbd config, e.g. '128,32' "
@@ -402,9 +418,11 @@ def main():
             "vs_baseline": None,
         }))
     elif args.config == "mpc_batch":
-        value = bench_mpc_batch(batch=args.batch or 1024)
+        batch = args.batch or (64 if args.problem == "rbd" else 1024)
+        value = bench_mpc_batch(batch=batch, problem_name=args.problem)
         _emit(dict({
-            "metric": "mpc_batch1024_replan_latency_2link_H50",
+            "metric": (f"mpc_batch{batch}_replan_latency_"
+                       f"{'rbd' if args.problem == 'rbd' else '2link'}_H50"),
             "value": round(value * 1e3, 3),
             "unit": "ms",
             "vs_baseline": None,
