@@ -112,12 +112,14 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
         from ilqr_tpu.batched import make_chunked_batch_solver
         from ilqr_tpu.problem import rollout
 
+        t_origin = time.perf_counter()
         chunked = make_chunked_batch_solver(
             problem, config, iter_chunk=iter_chunk,
             snapshot_every=snapshot_every, snapshot_path=snapshot_path,
             compact_sizes=compact_sizes,
             on_chunk=lambda p, r: print(
-                f"[bench:batched{label}]   chunk: passes={p} running={r}",
+                f"[bench:batched{label}]   chunk: passes={p} running={r} "
+                f"t={time.perf_counter() - t_origin:.1f}s",
                 file=sys.stderr) and False)
         roll = jax.jit(jax.vmap(lambda x0, us: rollout(problem.dynamics,
                                                        x0, us)))
