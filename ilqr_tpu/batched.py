@@ -224,7 +224,7 @@ def closed_loop_rollout_bl(problem: Problem, xs, us, duffs, Ks, alpha,
 @highest_precision
 def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
                     x_ref=None, config: ILQRConfig = DEFAULT_CONFIG,
-                    active=None, dV1=None, dV2=None):
+                    active=None, dV1=None, dV2=None, alpha_init=None):
     """Per-lane backtracking line search, batch-last.
 
     Semantics identical to the vmapped ``forward_pass``: each lane accepts
@@ -291,7 +291,10 @@ def forward_pass_bl(problem: Problem, xs, us, duffs, Ks, prev_cost,
 
     init = (
         jnp.int32(0),
-        jnp.full((B,), config.alpha0, dtype),
+        # alpha_init: per-lane warm-started first rung
+        # (config.ls_alpha_warm_start; None = the reference's alpha0).
+        (jnp.full((B,), config.alpha0, dtype) if alpha_init is None
+         else alpha_init.astype(dtype)),
         # Inactive lanes start "accepted" so they neither roll out usefully
         # nor keep the ladder spinning; the placeholder is masked off the
         # returned flag so callers see accepted=False for skipped lanes
@@ -455,11 +458,16 @@ def make_batch_last_engine(problem: Problem, x_ref_bl,
         duffs, Ks, dv1, dv2 = riccati_bl(*models, reg=reg, config=config)
         return duffs, Ks, dv1, dv2
 
-    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2):
-        fwd = (forward_pass_bl_parallel if config.parallel_alpha_block > 0
-               else forward_pass_bl)
-        return fwd(problem, xs, us, duffs, Ks, prev_cost,
-                   x_ref_bl, config, active=active, dV1=dV1, dV2=dV2)
+    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2,
+                alpha_init=None):
+        if config.parallel_alpha_block > 0:
+            # alpha_init is rejected at config construction for this path.
+            return forward_pass_bl_parallel(
+                problem, xs, us, duffs, Ks, prev_cost,
+                x_ref_bl, config, active=active, dV1=dV1, dV2=dV2)
+        return forward_pass_bl(problem, xs, us, duffs, Ks, prev_cost,
+                               x_ref_bl, config, active=active, dV1=dV1,
+                               dV2=dV2, alpha_init=alpha_init)
 
     return StepEngine(
         backward=backward,

@@ -142,8 +142,22 @@ class ILQRConfig:
     # free; blocks repeat until every lane accepts or max_backtracks is
     # exhausted.  0 = sequential (default, bit-parity with the ladder).
     parallel_alpha_block: int = 0
+    # Warm-started line search (framework extension, default off for
+    # reference parity: the reference resets alpha to 1 every iteration,
+    # src/forward_pass.jl:66).  Each lane's ladder starts one rung ABOVE
+    # its previously accepted alpha (capped at alpha0) instead of at
+    # alpha0: on stiff problems the accepted alpha is strongly temporally
+    # correlated, and a lane crawling at alpha ~ 2^-6 pays 1-2 rungs per
+    # iteration instead of 7.  After a failed ladder the start resets to
+    # alpha0 (the reg escalation changes the local model, so the old
+    # alpha is stale).
+    ls_alpha_warm_start: bool = False
 
     def __post_init__(self):
+        if self.ls_alpha_warm_start and self.parallel_alpha_block > 0:
+            raise ValueError(
+                "ls_alpha_warm_start is not implemented for the "
+                "parallel-alpha ladder (parallel_alpha_block > 0)")
         if self.backward_backend == "associative" and self.reg > 0.0:
             # The parallel-in-time backend applies the Tikhonov term inside
             # the associative combine, which is not algebraically identical

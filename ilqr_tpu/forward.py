@@ -64,7 +64,8 @@ def closed_loop_rollout(problem: Problem, xs, us, duffs, Ks, alpha,
 def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
                  x_ref: Optional[jax.Array] = None,
                  config: ILQRConfig = DEFAULT_CONFIG,
-                 active=None, dV1=None, dV2=None) -> ForwardResult:
+                 active=None, dV1=None, dV2=None,
+                 alpha_init=None) -> ForwardResult:
     """Line-searched forward pass.
 
     Equivalent of the reference's public ``forward_pass`` (:55) with the
@@ -167,7 +168,10 @@ def forward_pass(problem: Problem, xs, us, duffs, Ks, prev_cost,
 
     init = (
         jnp.int32(0),
-        jnp.asarray(config.alpha0, dtype),
+        # alpha_init: per-lane warm-started first rung
+        # (config.ls_alpha_warm_start; None = the reference's alpha0).
+        (jnp.asarray(config.alpha0, dtype) if alpha_init is None
+         else alpha_init.astype(dtype)),
         jnp.bool_(False),
         xs,
         us,

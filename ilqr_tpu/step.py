@@ -135,8 +135,18 @@ def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
         stationary = jnp.zeros_like(running)
 
     active = jnp.logical_and(running, ~stationary)
+    if config.ls_alpha_warm_start:
+        # One rung above the lane's last accepted alpha, capped at alpha0
+        # (initial_state seeds state.alpha = alpha0, so iteration 1 is
+        # unchanged; a failed ladder resets the carry below).
+        alpha_init = jnp.minimum(
+            jnp.asarray(config.alpha0, state.alpha.dtype),
+            state.alpha / config.alpha_factor)
+    else:
+        alpha_init = None
     fxs, fus, fcost, accepted, falpha, fbts = engine.forward(
-        state.xs, state.us, duffs, Ks, state.prev_cost, active, dV1, dV2)
+        state.xs, state.us, duffs, Ks, state.prev_cost, active, dV1, dV2,
+        alpha_init)
 
     du_sq = engine.du_sq(fus, state.us)
     converged = jnp.logical_or(
@@ -148,9 +158,21 @@ def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
         if config.reg_backtrack_trigger > 0:
             # A step that only accepted deep in the ladder is a sign the
             # local model overshoots; steer reg up so the next step accepts
-            # near alpha = 1 (Tassa et al. 2012 schedule).
-            raise_reg = jnp.logical_or(
-                raise_reg, fbts >= config.reg_backtrack_trigger)
+            # near alpha = 1 (Tassa et al. 2012 schedule).  Under the
+            # warm-started ladder the backtrack count no longer encodes
+            # depth (a crawling lane accepts at rung 0), so the trigger
+            # tests the accepted alpha itself: bts >= t with an alpha0
+            # start is exactly alpha <= alpha0 * factor^t (half-rung
+            # tolerance keeps the discrete comparison robust).
+            if config.ls_alpha_warm_start:
+                alpha_thresh = config.alpha0 * (
+                    config.alpha_factor
+                    ** (config.reg_backtrack_trigger - 0.5))
+                deep_accept = jnp.logical_and(accepted,
+                                              falpha < alpha_thresh)
+            else:
+                deep_accept = fbts >= config.reg_backtrack_trigger
+            raise_reg = jnp.logical_or(raise_reg, deep_accept)
         reg_new = jnp.where(
             raise_reg,
             jnp.minimum(state.reg * config.reg_scale, config.reg_max),
@@ -188,7 +210,15 @@ def ilqr_step_apply(engine: StepEngine, config: ILQRConfig,
                               fcost, state.prev_cost)
     status = engine.select(running, status_new, state.status)
     reg = engine.select(running, reg_new, state.reg)
-    alpha = engine.select(running, falpha, state.alpha)
+    if config.ls_alpha_warm_start:
+        # Carry only ACCEPTED alphas; a failed ladder's exhausted alpha is
+        # stale (reg just changed the local model) — restart at alpha0.
+        alpha_carry = engine.select(
+            accepted, falpha,
+            jnp.full_like(falpha, config.alpha0))
+    else:
+        alpha_carry = falpha
+    alpha = engine.select(running, alpha_carry, state.alpha)
     du_sq_out = engine.select(running, du_sq, state.du_sq)
     iteration = state.iteration + running.astype(jnp.int32)
 
@@ -238,9 +268,11 @@ def make_scalar_engine(problem, x_ref, config: ILQRConfig) -> StepEngine:
         b = backward_pass(problem, xs, us, config, reg=reg)
         return b.duffs, b.Ks, b.dV1, b.dV2
 
-    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2):
+    def forward(xs, us, duffs, Ks, prev_cost, active, dV1, dV2,
+                alpha_init=None):
         f = forward_pass(problem, xs, us, duffs, Ks, prev_cost, x_ref,
-                         config, active=active, dV1=dV1, dV2=dV2)
+                         config, active=active, dV1=dV1, dV2=dV2,
+                         alpha_init=alpha_init)
         return f.xs, f.us, f.cost, f.accepted, f.alpha, f.backtracks
 
     return StepEngine(

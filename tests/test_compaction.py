@@ -95,3 +95,34 @@ def test_compaction_with_snapshot_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(r0.us), np.asarray(r1.us),
                                rtol=1e-6, atol=1e-7)
     assert int(jnp.sum(r1.status == int(Status.CONVERGED))) > 0
+
+
+def test_alpha_warm_start_converges_and_saves_rungs():
+    """ls_alpha_warm_start (default-off extension): same converged lanes,
+    fewer total ladder rungs on a problem with crawling lanes."""
+
+    from ilqr_tpu.utils.metrics import solve_with_trace
+
+    problem, xs0, us0 = _setup(B=8, T=30)
+    base = dict(max_iter=30, tol=1e-5, tol_grad=1e-10, tol_grad_rel=1e-6,
+                backward_backend="scan")
+    c_plain = ILQRConfig(**base)
+    c_warm = ILQRConfig(**base, ls_alpha_warm_start=True)
+
+    r0, t0 = jax.vmap(
+        lambda xs, us: solve_with_trace(problem, xs, us, config=c_plain)
+    )(xs0, us0)
+    r1, t1 = jax.vmap(
+        lambda xs, us: solve_with_trace(problem, xs, us, config=c_warm)
+    )(xs0, us0)
+
+    s0 = np.asarray(r0.status)
+    s1 = np.asarray(r1.status)
+    conv = int(Status.CONVERGED)
+    # Warm start must not lose convergence on this easy set.
+    assert (s1 == conv).sum() >= (s0 == conv).sum()
+    # Rung count = backtracks + 1 per valid iteration; warm start should
+    # not do MORE total rollouts.
+    rungs0 = float(jnp.sum(jnp.where(t0.valid, t0.backtracks + 1, 0)))
+    rungs1 = float(jnp.sum(jnp.where(t1.valid, t1.backtracks + 1, 0)))
+    assert rungs1 <= rungs0, (rungs0, rungs1)
