@@ -91,7 +91,7 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                   reg_backtrack_trigger=0, exact_ls_delta=False,
                   snapshot_every=0, ls_expected_decrease=False, ls_c=0.1,
                   snapshot_path=None, parallel_alpha_block=0,
-                  compact_sizes=()):
+                  compact_sizes=(), ls_alpha_warm_start=False):
     from ilqr_tpu.config import ILQRConfig, Status
     from ilqr_tpu.parallel.batching import make_batch_solver
 
@@ -104,7 +104,8 @@ def bench_batched(batch=4096, T=100, max_iter=30, tol=1e-5,
                         reg_backtrack_trigger=reg_backtrack_trigger,
                         exact_ls_delta=exact_ls_delta,
                         ls_expected_decrease=ls_expected_decrease, ls_c=ls_c,
-                        parallel_alpha_block=parallel_alpha_block)
+                        parallel_alpha_block=parallel_alpha_block,
+                        ls_alpha_warm_start=ls_alpha_warm_start)
     if iter_chunk > 0:
         # Host-chunked dispatches: bounded per-dispatch device time (the
         # single-dispatch RBD run at max_iter=60 died with a TPU device
@@ -296,6 +297,13 @@ def main():
                     help="evaluate this many line-search rungs as extra "
                          "batch lanes per rollout "
                          "(config.parallel_alpha_block; 0 = sequential)")
+    ap.add_argument("--snapshot-every", type=int, default=None,
+                    help="host-snapshot every N chunks in the rbd config "
+                         "(default 4; each snapshot is a ~25 MB "
+                         "device->host transfer through the tunnel)")
+    ap.add_argument("--ls-warm", action="store_true",
+                    help="warm-started per-lane line-search ladder "
+                         "(config.ls_alpha_warm_start)")
     ap.add_argument("--problem", default="two_link",
                     choices=["two_link", "rbd"],
                     help="model for the mpc_batch config")
@@ -372,9 +380,13 @@ def main():
             scan_unroll=args.unroll or 1,
             derivative_chunk=args.deriv_chunk or (100 if T >= 500 else 0),
             iter_chunk=args.iter_chunk or 10,
-            # Host snapshot each chunk: a worker crash mid-solve (observed
-            # at B=512/T=1000) resumes instead of losing the run.
-            snapshot_every=1,
+            # Host snapshots: a worker crash mid-solve (observed at
+            # B=512/T=1000) resumes instead of losing the run.  Every
+            # snapshot is a ~25 MB device->host transfer through this
+            # tunnel (~0.25 s/pass at every-chunk cadence — measured
+            # round 5), so the default snapshots every 4th chunk.
+            snapshot_every=(4 if args.snapshot_every is None
+                            else args.snapshot_every),
             adaptive_reg=True, reg=1.0, reg_min=1e-3,
             reg_scale=10.0, reg_backtrack_trigger=1,
             exact_ls_delta=bool(args.exact_delta),
@@ -382,7 +394,8 @@ def main():
             snapshot_path=args.snapshot_path,
             parallel_alpha_block=args.parallel_alpha,
             compact_sizes=tuple(int(s) for s in args.compact.split(",")
-                                if s.strip()))
+                                if s.strip()),
+            ls_alpha_warm_start=args.ls_warm)
         _emit(dict({
             "metric": f"ilqr_solves_per_s_per_chip_rbd_n16_N{T}",
             "value": round(value, 2),
