@@ -244,14 +244,15 @@ def make_rbd_dynamics_jacobians(mech: Mechanism, dt: float = 0.01,
     n = 2 * nv
 
     if explicit_derivatives is None:
-        # Measured on-chip (BENCH.md round 5): for small trees the scalar-
-        # expression RNEA tangent DAG replayed per basis vector is the
-        # faster sweep (one wide fused elementwise program); the explicit
-        # matrix recursion wins where scalar algebra is gated off
-        # (> 4 bodies) and compiles ~5x faster everywhere.
-        from ilqr_tpu.models.rbd.dynamics import use_scalar_algebra
-
-        explicit_derivatives = not use_scalar_algebra(mech)
+        # Measured on-chip (BENCH.md round 5): the per-basis-vector JVP
+        # replay is the faster sweep on BOTH sides of the scalar-algebra
+        # gate (2-DoF floating arm: 108 vs 468 ms/app through the scalar
+        # tangent DAG; 6-DoF arm: 28 vs 44 ms/app through the matrix
+        # one) — XLA fuses the replayed tangent graph into a few wide
+        # elementwise programs that beat the explicit recursion's many
+        # small matmuls.  The explicit sweep stays available for
+        # compile-time-sensitive uses (it compiles ~5x faster).
+        explicit_derivatives = False
 
     if explicit_derivatives:
         stage_all = make_rbd_stage_jacobians(
