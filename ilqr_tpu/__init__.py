@@ -19,7 +19,8 @@ A from-scratch re-design of the capability surface of ``aabouman/iLQR.jl``
 
 from ilqr_tpu.config import ILQRConfig, Status
 from ilqr_tpu.problem import Problem, rollout, total_cost
-from ilqr_tpu.derivatives import linearize_dynamics, quadratize_running_cost, quadratize_final_cost
+from ilqr_tpu.derivatives import (linearize_dynamics, quadratize_running_cost,
+                                  quadratize_final_cost, dynamics_hessians)
 from ilqr_tpu.backward import backward_pass
 from ilqr_tpu.forward import forward_pass
 from ilqr_tpu.solver import solve, fit, SolverResult, make_solver
@@ -35,6 +36,7 @@ __all__ = [
     "linearize_dynamics",
     "quadratize_running_cost",
     "quadratize_final_cost",
+    "dynamics_hessians",
     "backward_pass",
     "forward_pass",
     "solve",

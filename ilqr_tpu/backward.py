@@ -50,15 +50,33 @@ class BackwardResult(NamedTuple):
     dV2: jax.Array    # scalar: sum_t 0.5 duff_t . H_t duff_t
 
 
-def riccati_step(carry, inp, reg, symmetrize):
+def riccati_step(carry, inp, reg, symmetrize, reg_in_value=False):
     """One backward value-recursion step (pure linear algebra).
 
     ``carry = (s, s_vec [n], S [n, n])`` is the quadratic value model at
     t+1; ``inp = (A, B, q, qx, ru, Qxx, Pux, Ruu)`` the local model at t.
+
+    ``reg_in_value=False`` (default) replicates the reference's mixed
+    semantics: gains from H + reg*I, value update with the raw H
+    (src/backward_pass.jl:207-218 vs :262-273).  ``True`` uses H + reg*I
+    consistently in both — equivalent to adding reg/2*|du|^2 to the stage
+    cost, which makes the recursion an exact Riccati recursion (and hence
+    expressible associatively; see ilqr_tpu.pit).
     """
 
     s, s_vec, S = carry
-    A, B, q, qx, ru, Qxx, Pux, Ruu = inp
+    if len(inp) == 9:
+        # DDP: contract the second-order dynamics tensor with the value
+        # gradient at t+1 and fold it into the cost curvature blocks
+        # (framework extension — the reference is pure iLQR).
+        A, B, q, qx, ru, Qxx, Pux, Ruu, Fzz = inp
+        n = A.shape[-1]
+        Vf = jnp.einsum("k,kij->ij", s_vec, Fzz)
+        Qxx = Qxx + Vf[..., :n, :n]
+        Pux = Pux + Vf[..., n:, :n]
+        Ruu = Ruu + Vf[..., n:, n:]
+    else:
+        A, B, q, qx, ru, Qxx, Pux, Ruu = inp
 
     # All products go through ops.smallmat: broadcast-multiply-reduce VPU
     # contractions instead of MXU dot_generals — n, m are tiny, and under
@@ -74,6 +92,8 @@ def riccati_step(carry, inp, reg, symmetrize):
     duff = -solve_psd_small(H_reg, g)
     K = -solve_psd_small(H_reg, G)
 
+    if reg_in_value:
+        H = H_reg
     H_duff = sm.mv(H, duff)
     s_new = q + s + 0.5 * sm.vv(duff, H_duff) + sm.vv(duff, g)
     s_vec_new = (qx + sm.mtv(A, s_vec) + sm.mtv(K, H_duff) + sm.mtv(K, g)
@@ -90,7 +110,8 @@ def riccati_step(carry, inp, reg, symmetrize):
 
 @highest_precision
 def riccati_scan(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
-                 reg, symmetrize=True, unroll=1):
+                 reg, symmetrize=True, unroll=1, reg_in_value=False,
+                 Fzz=None):
     """Whole-horizon backward recursion over precomputed local models.
 
     Inputs are time-major ``[T, ...]``; the scan runs t = T-1 … 0
@@ -99,12 +120,15 @@ def riccati_scan(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
     """
 
     def step(carry, inp):
-        return riccati_step(carry, inp, reg=reg, symmetrize=symmetrize)
+        return riccati_step(carry, inp, reg=reg, symmetrize=symmetrize,
+                            reg_in_value=reg_in_value)
 
     init = (qN, qxN, QN)
+    xs_in = (As, Bs, q, qx, ru, Qxx, Pux, Ruu)
+    if Fzz is not None:
+        xs_in = xs_in + (Fzz,)
     _, (duffs, Ks, dv1, dv2) = jax.lax.scan(
-        step, init, (As, Bs, q, qx, ru, Qxx, Pux, Ruu), reverse=True,
-        unroll=unroll,
+        step, init, xs_in, reverse=True, unroll=unroll,
     )
     return BackwardResult(duffs, Ks, jnp.sum(dv1), jnp.sum(dv2))
 
@@ -138,6 +162,7 @@ def backward_pass(problem: Problem, xs: jax.Array, us: jax.Array,
         return riccati_associative_scan(
             As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
             reg=reg, symmetrize=config.symmetrize,
+            reg_in_value=config.reg_in_value,
         )
     if config.backward_backend == "pallas":
         from ilqr_tpu.ops.riccati_dispatch import (
@@ -148,7 +173,13 @@ def backward_pass(problem: Problem, xs: jax.Array, us: jax.Array,
         duffs, Ks, dv1, dv2 = op(As, Bs, qx, ru, Qxx, Pux, Ruu, qxN, QN,
                                  jnp.asarray(reg, As.dtype))
         return BackwardResult(duffs, Ks, dv1, dv2)
+    Fzz = None
+    if config.ddp:
+        from ilqr_tpu.derivatives import problem_dynamics_hessians
+
+        Fzz = problem_dynamics_hessians(problem, xs[:-1], us)
     return riccati_scan(
         As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
         reg=reg, symmetrize=config.symmetrize, unroll=config.scan_unroll,
+        reg_in_value=config.reg_in_value, Fzz=Fzz,
     )

@@ -87,6 +87,32 @@ class ILQRConfig:
     # or "associative" (parallel-in-time Riccati via lax.associative_scan,
     # log-depth in the horizon — the framework's long-horizon story).
     backward_backend: str = "scan"
+    # Regularization semantics (framework extension; default replicates the
+    # reference).  The reference computes gains from H + reg*I but feeds the
+    # UNREGULARIZED H into the value recursion (src/backward_pass.jl:214
+    # calls step_back with the raw H from :186) — a mixed recursion that is
+    # not the minimization of any stage cost and therefore cannot be
+    # expressed as an associative scan (the parallel-in-time backend's
+    # O(reg) divergence).  With reg_in_value=True, H + reg*I is used
+    # consistently in the gain solve AND the value update — algebraically
+    # identical to adding reg/2*|du|^2 to every stage cost (a per-step
+    # trust-region on the control correction, the standard Tassa/DDP "reg on
+    # Quu" variant) — and the recursion becomes an exact Riccati recursion
+    # again, so the sequential and associative backends agree to roundoff at
+    # ANY reg (tested in tests/test_pit.py).  Honored by the scan and
+    # associative backends; the Pallas kernel keeps reference semantics
+    # (enforced in __post_init__).
+    reg_in_value: bool = False
+    # Full DDP (framework extension; the reference is pure iLQR — its
+    # backward pass stops at the dynamics Jacobian,
+    # src/backward_pass.jl:25-40).  When True, the Q-function blocks gain
+    # the second-order dynamics terms, Qzz += sum_k Vx_{t+1}[k] *
+    # d2f_k/dz dz, contracted inside the backward scan against the running
+    # value gradient.  Costs one extra fwd-over-fwd derivative sweep per
+    # iteration and T*n*(n+m)^2 floats of tensor storage; pays for itself
+    # when curvature-dominated problems take fewer iterations (quadratic
+    # local convergence vs iLQR's superlinear).  Scan backend only.
+    ddp: bool = False
     # lax.scan unroll factor for the backward recursion and the rollout.
     # Time scans over tiny per-step work are dominated by per-step overhead
     # on TPU; unrolling amortizes it.  Pure performance knob — numerics are
@@ -158,18 +184,32 @@ class ILQRConfig:
             raise ValueError(
                 "ls_alpha_warm_start is not implemented for the "
                 "parallel-alpha ladder (parallel_alpha_block > 0)")
-        if self.backward_backend == "associative" and self.reg > 0.0:
-            # The parallel-in-time backend applies the Tikhonov term inside
-            # the associative combine, which is not algebraically identical
-            # to regularizing each sequential step: results differ from the
-            # scan backend by O(reg) (exact agreement at reg=0).  See
+        if self.ddp and self.backward_backend != "scan":
+            raise ValueError(
+                "ddp=True needs the sequential value gradient inside the "
+                "recursion; only backward_backend='scan' supports it "
+                f"(got {self.backward_backend!r})")
+        if self.reg_in_value and self.backward_backend == "pallas":
+            raise ValueError(
+                "reg_in_value=True is not implemented by the Pallas backward "
+                "kernel (it replicates the reference's mixed regularization "
+                "semantics); use backward_backend='scan' or 'associative'")
+        if (self.backward_backend == "associative" and self.reg > 0.0
+                and not self.reg_in_value):
+            # The reference's mixed recursion (regularized gains, raw-H value
+            # update) is not the minimization of any stage cost, so it has no
+            # associative form: results differ from the scan backend by
+            # O(reg) (exact agreement at reg=0).  reg_in_value=True switches
+            # both backends to the consistent trust-region semantics, which
+            # IS associative — they then agree at any reg.  See
             # ilqr_tpu/pit.py for the derivation.
             warnings.warn(
                 "backward_backend='associative' with reg="
                 f"{self.reg} > 0: the parallel-in-time Riccati recursion "
                 "differs from the sequential backend by O(reg); do not "
                 "expect reference-exact trajectories.  Use reg=0 (with "
-                "adaptive_reg or a PD cost) for exact agreement.",
+                "adaptive_reg or a PD cost), or reg_in_value=True (exact "
+                "agreement at any reg under trust-region semantics).",
                 stacklevel=2)
 
     def replace(self, **kw) -> "ILQRConfig":

@@ -109,3 +109,45 @@ def problem_quadratize_final(problem, x_final):
     if problem.final_cost_quadratization is not None:
         return problem.final_cost_quadratization(x_final)
     return quadratize_final_cost(problem.final_cost, x_final)
+
+
+def dynamics_hessians(dynamics: Callable, xs: jax.Array, us: jax.Array
+                      ) -> jax.Array:
+    """Second-order dynamics tensor along the whole horizon (DDP extension).
+
+    Returns ``Fzz [T, n, n+m, n+m]`` with ``Fzz[t, k, i, j] =
+    d2 f_k / dz_i dz_j`` at ``z = (x_t, u_t)`` — the tensor the full DDP
+    recursion contracts with the value gradient.  The reference solver is
+    pure iLQR (first-order dynamics only, src/backward_pass.jl:25-40 stops
+    at the Jacobian), so this has no reference counterpart; it feeds
+    ``ILQRConfig(ddp=True)``.
+
+    Computed as one fwd-over-fwd sweep vmapped over time.  Memory is
+    ``T * n * (n+m)^2`` floats — fine for small models (2-link: 144
+    floats/step), and the reason ``ddp`` is an explicit opt-in for large
+    ones (RBD n=16, m=8: 9.2k floats/step).
+    """
+
+    n = xs.shape[-1]
+
+    def f_z(z):
+        return dynamics(z[:n], z[n:])
+
+    hess = jax.jacfwd(jax.jacfwd(f_z))
+
+    def one(x, u):
+        H = hess(jnp.concatenate([x, u]))
+        # Mixed partials are symmetric; enforce against roundoff drift so
+        # the contracted Quu/Qxx blocks stay symmetric.
+        return 0.5 * (H + jnp.swapaxes(H, -1, -2))
+
+    return jax.vmap(one)(xs, us)
+
+
+def problem_dynamics_hessians(problem, xs, us):
+    """Whole-horizon ``Fzz`` for a Problem — the user's analytic
+    ``dynamics_hessians`` override when provided, autodiff otherwise."""
+
+    if getattr(problem, "dynamics_hessians", None) is not None:
+        return jax.vmap(problem.dynamics_hessians)(xs, us)
+    return dynamics_hessians(problem.dynamics, xs, us)

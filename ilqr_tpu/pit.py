@@ -40,6 +40,15 @@ sequential backend's use of regularized gains *inside* the value recursion
 ``reg=0`` the two backends agree to roundoff (tested); with ``reg>0`` they
 differ by O(reg) — use the sequential backend when bit-parity with the
 reference matters, and this one for long-horizon throughput.
+
+Exact regularized mode: the mixed recursion above is the reference's; it is
+not the minimization of any stage cost, so no associative form exists for
+it.  But the *consistent* regularization (H+reg*I in both the gain solve
+and the value update, ``config.reg_in_value=True``) is exactly the
+unregularized recursion over stage costs augmented with reg/2*|du|^2 —
+which IS associative.  ``riccati_associative_scan(..., reg_in_value=True)``
+folds reg into Ruu and matches the sequential consistent-reg backend to
+roundoff at any reg (tests/test_pit.py::test_reg_in_value_exact_agreement).
 """
 
 from __future__ import annotations
@@ -137,12 +146,26 @@ def value_functions_associative(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN):
 
 @highest_precision
 def riccati_associative_scan(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
-                             reg, symmetrize=True):
+                             reg, symmetrize=True, reg_in_value=False):
     """Drop-in replacement for :func:`ilqr_tpu.backward.riccati_scan` using
     the parallel-in-time formulation.  See module docstring for the
-    regularization caveat."""
+    regularization caveat.
+
+    With ``reg_in_value=True`` the Tikhonov term is folded into ``Ruu``
+    before the elements are built.  Because the local quadratic model is in
+    the control *correction* du, adding reg*I to Ruu is exactly adding
+    reg/2*|du|^2 to each stage cost (the linear term ``ru`` is unchanged) —
+    so the exact associative recursion over the modified cost reproduces the
+    sequential consistent-reg recursion (backward.riccati_step with
+    reg_in_value=True) to roundoff at any reg, removing the O(reg) caveat.
+    """
 
     from ilqr_tpu.backward import BackwardResult
+
+    if reg_in_value:
+        m = Ruu.shape[-1]
+        Ruu = Ruu + reg * jnp.eye(m, dtype=Ruu.dtype)
+        reg = jnp.zeros((), dtype=Ruu.dtype)
 
     S, s_vec = value_functions_associative(
         As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN)

@@ -49,12 +49,16 @@ class Problem:
     dynamics_jacobians: Optional[Callable] = None
     cost_quadratization: Optional[Callable] = None
     final_cost_quadratization: Optional[Callable] = None
+    #   dynamics_hessians(x, u) -> Fzz [n, n+m, n+m] (z = (x, u)) — only
+    #   consulted under ILQRConfig(ddp=True); autodiff otherwise.
+    dynamics_hessians: Optional[Callable] = None
 
     def __hash__(self):
         return hash((id(self.dynamics), id(self.cost), id(self.final_cost),
                      id(self.dynamics_jacobians),
                      id(self.cost_quadratization),
-                     id(self.final_cost_quadratization), self.name))
+                     id(self.final_cost_quadratization),
+                     id(self.dynamics_hessians), self.name))
 
 
 @highest_precision

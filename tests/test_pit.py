@@ -90,3 +90,85 @@ def test_associative_backend_through_solver_config():
                         ILQRConfig(reg=0.0, backward_backend="associative"))
     np.testing.assert_allclose(np.asarray(par.Ks), np.asarray(seq.Ks),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_reg_in_value_exact_agreement_at_nonzero_reg():
+    """With consistent trust-region semantics (reg_in_value=True) the
+    sequential and associative backends agree to roundoff at reg > 0 —
+    the O(reg) caveat is a property of the reference's mixed recursion,
+    not of parallel-in-time Riccati itself."""
+
+    problem = make_two_link_problem()
+    rng = np.random.default_rng(3)
+    T = 64
+    x0 = jnp.asarray([0.1, -0.1, 0.0, 0.0])
+    us = jnp.asarray(0.2 * rng.standard_normal((T, 2)))
+    xs = rollout(problem.dynamics, x0, us)
+    models = _local_models(problem, xs, us)
+
+    for reg in (1e-2, 1.0):
+        seq = riccati_scan(*models, reg=reg, reg_in_value=True)
+        par = riccati_associative_scan(*models, reg=reg, reg_in_value=True)
+        np.testing.assert_allclose(np.asarray(par.duffs),
+                                   np.asarray(seq.duffs),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(par.Ks), np.asarray(seq.Ks),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(par.dV1), float(seq.dV1),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(float(par.dV2), float(seq.dV2),
+                                   rtol=1e-7, atol=1e-10)
+
+        # ... and the mixed (reference) semantics at the same reg really is
+        # a different recursion — the gap the flag closes.
+        seq_mixed = riccati_scan(*models, reg=reg, reg_in_value=False)
+        assert not np.allclose(np.asarray(seq_mixed.Ks), np.asarray(seq.Ks),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_reg_in_value_equals_cost_augmentation():
+    """reg_in_value=True == solving the unregularized problem whose stage
+    cost has reg/2 |du|^2 added (Ruu -> Ruu + reg I, ru unchanged)."""
+
+    problem = make_two_link_problem()
+    rng = np.random.default_rng(4)
+    T = 32
+    x0 = jnp.asarray([0.2, 0.1, 0.0, 0.0])
+    us = jnp.asarray(0.1 * rng.standard_normal((T, 2)))
+    xs = rollout(problem.dynamics, x0, us)
+    As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN = _local_models(
+        problem, xs, us)
+
+    reg = 0.05
+    a = riccati_scan(As, Bs, q, qx, ru, Qxx, Pux, Ruu, qN, qxN, QN,
+                     reg=reg, reg_in_value=True)
+    Ruu_aug = Ruu + reg * jnp.eye(Ruu.shape[-1], dtype=Ruu.dtype)
+    b = riccati_scan(As, Bs, q, qx, ru, Qxx, Pux, Ruu_aug, qN, qxN, QN,
+                     reg=0.0, reg_in_value=False)
+    np.testing.assert_allclose(np.asarray(a.Ks), np.asarray(b.Ks),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.duffs), np.asarray(b.duffs),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_reg_in_value_through_solver_config():
+    """End-to-end: both backends under ILQRConfig(reg_in_value=True) with
+    the default reg=1e-2 produce the same gains, with no O(reg) warning."""
+
+    import warnings as _warnings
+
+    problem = make_two_link_problem()
+    rng = np.random.default_rng(5)
+    T = 32
+    x0 = jnp.asarray([0.1, -0.1, 0.0, 0.0])
+    us = jnp.asarray(0.1 * rng.standard_normal((T, 2)))
+    xs = rollout(problem.dynamics, x0, us)
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # the O(reg) warning must NOT fire
+        cfg_par = ILQRConfig(reg_in_value=True,
+                             backward_backend="associative")
+    seq = backward_pass(problem, xs, us, ILQRConfig(reg_in_value=True))
+    par = backward_pass(problem, xs, us, cfg_par)
+    np.testing.assert_allclose(np.asarray(par.Ks), np.asarray(seq.Ks),
+                               rtol=1e-7, atol=1e-9)
