@@ -117,3 +117,23 @@ def test_ddp_rejects_parallel_backends():
         ILQRConfig(ddp=True, backward_backend="associative")
     with pytest.raises(ValueError):
         ILQRConfig(ddp=True, backward_backend="pallas")
+
+
+@pytest.mark.slow
+def test_rbd_dynamics_second_order_ad():
+    """fwd-over-fwd traces through the RBD custom-JVP dynamics — the DDP
+    tensor exists and is finite/symmetric for the floating-base arm
+    (compile-heavy: ~1 min on CPU, hence slow-marked; feasibility also
+    recorded in BENCH.md round 5)."""
+
+    from ilqr_tpu.models.rbd import make_rbd_arm_problem
+
+    problem = make_rbd_arm_problem()
+    n, m = problem.state_dim, problem.control_dim
+    Fzz = dynamics_hessians(problem.dynamics, jnp.zeros((1, n)),
+                            jnp.zeros((1, m)))
+    assert Fzz.shape == (1, n, n + m, n + m)
+    assert bool(jnp.all(jnp.isfinite(Fzz)))
+    np.testing.assert_allclose(np.asarray(Fzz),
+                               np.asarray(jnp.swapaxes(Fzz, -1, -2)),
+                               rtol=0, atol=1e-10)
