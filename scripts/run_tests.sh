@@ -7,12 +7,20 @@
 # flake, not a library bug (every file passes in a fresh process).
 # Per-file processes bound that state and isolate any crash.
 #
+# Each file's exit code is printed (rc=N; rc=124 means the per-file
+# timeout killed it — raise PER_FILE_TIMEOUT) so a non-zero suite exit is
+# attributable from the log alone.
+#
 # Usage: scripts/run_tests.sh [-m "not slow"] [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
+PER_FILE_TIMEOUT=${PER_FILE_TIMEOUT:-2400}
 fail=0
 for f in tests/test_*.py; do
   echo "== $f"
-  timeout 1500 python -m pytest "$f" -q "$@" || fail=1
+  timeout "$PER_FILE_TIMEOUT" python -m pytest "$f" -q "$@"
+  rc=$?
+  echo "rc=$rc ($f)"
+  [ "$rc" -ne 0 ] && fail=1
 done
 exit $fail
